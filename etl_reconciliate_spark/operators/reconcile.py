@@ -1,0 +1,111 @@
+"""Transcript reconciliation pass.
+
+The Spark-first replacement for the reference's two-datasource match
+classification (reference: service/ReconciliationService.java:107-201 —
+OK / NO EN JPAT / NO EN SWIFT / DIFERENCIA EN VALOR): a bounded FULL
+OUTER join of the source-of-truth transcript table against the
+CDC-maintained target on the composite key (conv_id, turn_idx), with
+
+* explicit salted-key skew handling (``operators.skew``),
+* vectorized Arrow-UDF text comparison (``functions.text``),
+* classification MATCH / SOURCE_ONLY / TARGET_ONLY / VALUE_DISCREPANCY,
+* stable (conv_id, turn_idx) output ordering, replacing the reference's
+  HashMap-iteration nondeterminism (SURVEY §1.4(4)),
+* a per-conversation rollup mirroring the reference's batch-status
+  precedence chain (reference: ReconciliationService.java:194-201).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from etl_reconciliate_spark.functions.text import texts_equal
+from etl_reconciliate_spark.operators.skew import salted_full_outer
+from etl_reconciliate_spark.schemas import (
+    KEY_COLS,
+    STATUS_MATCH,
+    STATUS_SOURCE_ONLY,
+    STATUS_TARGET_ONLY,
+    STATUS_VALUE_DISCREPANCY,
+)
+
+
+def reconcile(
+    source: DataFrame,
+    target: DataFrame,
+    n_salts: int = 8,
+    hot_threshold: int = 100_000,
+    compare_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """Classify every key of source ⟗ target.
+
+    Returns (conv_id, turn_idx, status, src_text, tgt_text) ordered by
+    key. ``compare_cols`` are the payload columns whose per-turn equality
+    (Arrow UDF) decides MATCH vs VALUE_DISCREPANCY.
+    """
+    s = source.select(KEY_COLS + [F.col(c).alias(f"cmp_{c}") for c in compare_cols])
+    t = target.select(KEY_COLS + [F.col(c).alias(f"cmp_{c}") for c in compare_cols])
+
+    j = salted_full_outer(
+        s, t, KEY_COLS, n_salts=n_salts, hot_threshold=hot_threshold,
+        left_prefix="s", right_prefix="t",
+    )
+
+    s_present = F.col("s_conv_id").isNotNull() | F.col("s_turn_idx").isNotNull()
+    t_present = F.col("t_conv_id").isNotNull() | F.col("t_turn_idx").isNotNull()
+
+    eq = F.lit(True)
+    for c in compare_cols:
+        eq = eq & texts_equal(F.col(f"s_cmp_{c}"), F.col(f"t_cmp_{c}"))
+
+    status = (
+        F.when(s_present & ~t_present, F.lit(STATUS_SOURCE_ONLY))
+        .when(~s_present & t_present, F.lit(STATUS_TARGET_ONLY))
+        .when(eq, F.lit(STATUS_MATCH))
+        .otherwise(F.lit(STATUS_VALUE_DISCREPANCY))
+    )
+
+    return (
+        j.select(
+            F.coalesce(F.col("s_conv_id"), F.col("t_conv_id")).alias("conv_id"),
+            F.coalesce(F.col("s_turn_idx"), F.col("t_turn_idx")).alias("turn_idx"),
+            status.alias("status"),
+            F.col("s_cmp_text").alias("src_text") if "text" in compare_cols
+            else F.lit(None).cast("string").alias("src_text"),
+            F.col("t_cmp_text").alias("tgt_text") if "text" in compare_cols
+            else F.lit(None).cast("string").alias("tgt_text"),
+        )
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def status_counts(recon: DataFrame) -> DataFrame:
+    """The parity metric: record count per classification
+    (BASELINE.json:2 — match/discrepancy record counts)."""
+    return recon.groupBy("status").agg(F.count(F.lit(1)).alias("n")).orderBy("status")
+
+
+def rollup_conversations(recon: DataFrame) -> DataFrame:
+    """Per-conversation status with the reference's precedence chain
+    (reference: ReconciliationService.java:194-201): any missing side →
+    that error dominates; else any text discrepancy; else OK. Expressed
+    as conditional count aggregates — one shuffle, map-side combined."""
+    agg = recon.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.when(F.col("status") == STATUS_SOURCE_ONLY, 1).otherwise(0)).alias(
+            "n_source_only"
+        ),
+        F.sum(F.when(F.col("status") == STATUS_TARGET_ONLY, 1).otherwise(0)).alias(
+            "n_target_only"
+        ),
+        F.sum(
+            F.when(F.col("status") == STATUS_VALUE_DISCREPANCY, 1).otherwise(0)
+        ).alias("n_discrepant"),
+    )
+    conv_status = (
+        F.when(F.col("n_source_only") > 0, F.lit("MISSING_IN_TARGET"))
+        .when(F.col("n_target_only") > 0, F.lit("EXTRA_IN_TARGET"))
+        .when(F.col("n_discrepant") > 0, F.lit("TEXT_DISCREPANCY"))
+        .otherwise(F.lit("OK"))
+    )
+    return agg.withColumn("conv_status", conv_status).orderBy("conv_id")

@@ -1,0 +1,118 @@
+"""Explicit salted-key skew handling for large joins.
+
+The north rule requires skew "handled explicitly" (BASELINE.json:14), on
+top of AQE's runtime skew-join split. Transcript conversations are
+Zipf-ish — one hot key can dominate a shuffle partition (SURVEY §7.3).
+
+``salted_full_outer`` decomposes FULL OUTER ``L ⟗ R ON keys`` exactly:
+
+* **cold keys** → plain full outer join (Catalyst picks the strategy);
+* **hot keys** (per-key row count above ``hot_threshold`` on either
+  side) → three legs that together equal the full outer join:
+    1. matched:   L_hot(+salt) ⋈ R_hot(×S replicas) on (keys, salt) —
+       every L row meets every R row of its key exactly once, but the
+       key's rows now spread across S reducers;
+    2. L-only:    L_hot rows whose key has no R rows (key-level
+       left_anti — correct because an equi-join on the full key matches
+       a row iff the other side has ANY row for that key);
+    3. R-only:    symmetric right_anti.
+
+The salt on the L side is a deterministic hash of the whole row
+(``xxhash64(*)``) — no RNG, so retries/replays are stable. Output column
+convention matches ``join(..., "full_outer")`` with both sides aliased.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _key_cond(a: str, b: str, keys: list[str]):
+    cond = None
+    for k in keys:
+        c = F.col(f"{a}.{k}").eqNullSafe(F.col(f"{b}.{k}"))
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
+def salted_full_outer(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    n_salts: int = 8,
+    hot_threshold: int = 100_000,
+    left_prefix: str = "l",
+    right_prefix: str = "r",
+) -> DataFrame:
+    """Exact FULL OUTER equi-join with explicit hot-key salting.
+
+    Returns all columns of both sides, prefixed ``{left_prefix}_`` /
+    ``{right_prefix}_`` (unmatched side → nulls).
+    """
+    lcols, rcols = left.columns, right.columns
+
+    def tag(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select([F.col(c).alias(f"{prefix}_{c}") for c in df.columns])
+
+    lt = tag(left, left_prefix)
+    rt = tag(right, right_prefix)
+    lk = [f"{left_prefix}_{k}" for k in keys]
+    rk = [f"{right_prefix}_{k}" for k in keys]
+
+    # Per-key counts on each side; a key is hot if either side exceeds
+    # the threshold. This is one cheap pre-aggregation (map-side combine)
+    # and the hot set is tiny by construction → broadcast it.
+    lhot = lt.groupBy(lk).agg(F.count(F.lit(1)).alias("_ln")).filter(
+        F.col("_ln") > hot_threshold
+    ).select([F.col(c).alias(k) for c, k in zip(lk, keys)])
+    rhot = rt.groupBy(rk).agg(F.count(F.lit(1)).alias("_rn")).filter(
+        F.col("_rn") > hot_threshold
+    ).select([F.col(c).alias(k) for c, k in zip(rk, keys)])
+    hot = F.broadcast(lhot.unionByName(rhot).distinct())
+
+    def split(df: DataFrame, kcols: list[str]):
+        h = hot.select([F.col(k).alias(f"_h_{k}") for k in keys])
+        cond = None
+        for k, kc in zip(keys, kcols):
+            c = F.col(kc).eqNullSafe(F.col(f"_h_{k}"))
+            cond = c if cond is None else (cond & c)
+        hot_rows = df.join(h, cond, "left_semi")
+        cold_rows = df.join(h, cond, "left_anti")
+        return hot_rows, cold_rows
+
+    l_hot, l_cold = split(lt, lk)
+    r_hot, r_cold = split(rt, rk)
+
+    join_cond = None
+    for a, b in zip(lk, rk):
+        c = F.col(a).eqNullSafe(F.col(b))
+        join_cond = c if join_cond is None else (join_cond & c)
+
+    cold = l_cold.join(r_cold, join_cond, "full_outer")
+
+    # Hot legs --------------------------------------------------------
+    salt_l = l_hot.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in l_hot.columns]), F.lit(n_salts))
+    )
+    salt_r = r_hot.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).cast("long")
+    )
+    matched = salt_l.join(
+        salt_r, join_cond & (salt_l["_salt"] == salt_r["_salt"]), "inner"
+    ).drop("_salt")
+
+    l_only = l_hot.join(r_hot, join_cond, "left_anti")
+    r_only = r_hot.join(l_hot, join_cond, "left_anti")
+
+    null_r = [F.lit(None).cast(rt.schema[c].dataType).alias(c) for c in rt.columns]
+    null_l = [F.lit(None).cast(lt.schema[c].dataType).alias(c) for c in lt.columns]
+    l_only_full = l_only.select([F.col(c) for c in lt.columns] + null_r)
+    r_only_full = r_only.select(null_l + [F.col(c) for c in rt.columns])
+
+    out_cols = lt.columns + rt.columns
+    return (
+        cold.select(out_cols)
+        .unionByName(matched.select(out_cols))
+        .unionByName(l_only_full.select(out_cols))
+        .unionByName(r_only_full.select(out_cols))
+    )

@@ -1,0 +1,88 @@
+"""Bounded LSN-slice reader over the change-log table.
+
+The change feed is an LSN-ordered table (here parquet epoch dirs; on a
+cluster an Iceberg table fed by Debezium-style capture). The engine
+tails it in bounded micro-batches: ``read_slice(lo, hi)`` returns all
+events with ``lo < lsn <= hi``. The lsn predicate reaches the parquet
+scan (PushedFilters → row-group min/max pruning), so a slice read costs
+proportional to the slice, not the log — the property that keeps replay
+O(new data) at 10^10-event scale.
+
+Schema evolution: early epoch files lack the ``tool`` column entirely.
+Each epoch dir is read with its own on-disk schema and aligned by name
+(missing columns → typed nulls), which is exactly how an Iceberg reader
+resolves old data files against a newer schema.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class ChangeLogSource:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._epochs = sorted(
+            d for d in os.listdir(path)
+            if d.startswith("epoch=") and os.path.isdir(os.path.join(path, d))
+        ) or [""]
+
+        self._dfs = {
+            e: self.spark.read.parquet(os.path.join(self.path, e))
+            for e in self._epochs
+        }
+        # Per-epoch LSN bounds: one tiny agg per epoch at open time
+        # (parquet footer min/max make this a metadata-ish scan). Used so
+        # a slice only exposes the columns of the epochs it touches —
+        # the reader must not fabricate a null `tool` column for
+        # pre-evolution slices.
+        self._bounds: dict[str, tuple[int, int]] = {}
+        for e, df in self._dfs.items():
+            row = df.agg(
+                F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
+            ).collect()[0]
+            if row["lo"] is not None:
+                self._bounds[e] = (int(row["lo"]), int(row["hi"]))
+
+    def max_lsn(self) -> int:
+        return max((hi for _, hi in self._bounds.values()), default=-1)
+
+    def _union_epochs(self, epochs: list[str]) -> DataFrame:
+        """Union the given epoch dirs, schemas aligned by name — missing
+        columns become typed nulls (Iceberg-style name resolution)."""
+        dfs = [self._dfs[e] for e in epochs]
+        all_fields: dict[str, object] = {}
+        for df in dfs:
+            for f_ in df.schema.fields:
+                all_fields.setdefault(f_.name, f_.dataType)
+        aligned = []
+        for df in dfs:
+            cols = [
+                F.col(n) if n in df.columns else F.lit(None).cast(t).alias(n)
+                for n, t in all_fields.items()
+            ]
+            aligned.append(df.select(cols))
+        out = aligned[0]
+        for df in aligned[1:]:
+            out = out.unionByName(df)
+        return out
+
+    def read_slice(self, lsn_lo_exclusive: int, lsn_hi_inclusive: int) -> DataFrame:
+        """Events with lsn in (lo, hi]. Only epochs whose LSN range
+        overlaps the slice contribute (so the slice's schema is the
+        schema of its actual data), and the lsn predicate pushes to the
+        parquet scan (row-group min/max pruning)."""
+        hit = [
+            e
+            for e, (lo, hi) in self._bounds.items()
+            if hi > lsn_lo_exclusive and lo <= lsn_hi_inclusive
+        ]
+        if not hit:
+            hit = list(self._bounds) or [self._epochs[0]]
+        return self._union_epochs(hit).filter(
+            (F.col("lsn") > F.lit(lsn_lo_exclusive))
+            & (F.col("lsn") <= F.lit(lsn_hi_inclusive))
+        )

@@ -1,0 +1,121 @@
+"""CDC replay loop: tail → dedup → repartition → MERGE → metrics.
+
+The Spark-first replacement for the reference's four sequential Spring
+Batch tasklets (reference: config/BatchConfig.java:59-68). Structured
+Streaming's file source can't give us LSN-bounded, resumable-by-offset
+slices over an evolving-schema table, so the loop is the standard
+"bounded micro-batch driven by our own offset store" pattern
+(functionally ``foreachBatch`` with a custom source): each iteration
+reads one (lo, hi] LSN slice, max-LSN-dedups it per key, repartitions by
+key, MERGEs into the target, and commits offsets atomically with the
+snapshot.
+
+Scale notes (the 100 TB story):
+* the slice read is pruned by the pushed lsn predicate — cost ∝ slice;
+* ONE shuffle per slice on the key covers both the dedup window and the
+  merge join probe side (same partitioning);
+* the target side of the merge is hash-clustered on the key at write
+  time (bucket emulation) — with real Iceberg bucket partitioning +
+  storage-partitioned joins that side never shuffles either;
+* merge is copy-on-write here (full rewrite per slice — fine for the
+  emulation); at 10^10 events the Iceberg backend flips to
+  merge-on-read (positional deletes) with periodic compaction, with no
+  change above this layer.
+
+Kill/resume: stop after any slice (or kill -9 mid-merge) and re-invoke —
+the resume point is read from the last committed snapshot, and an
+interrupted uncommitted slice simply re-runs (row-level newer-LSN-wins
+makes partial overlap harmless).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession
+
+from etl_reconciliate_spark.operators.dedup import dedup_max_lsn
+from etl_reconciliate_spark.plans.checkpoint import CheckpointManager
+from etl_reconciliate_spark.plans.metrics import op_counts, partition_lineage
+from etl_reconciliate_spark.schemas import KEY_COLS
+from etl_reconciliate_spark.sources.changelog import ChangeLogSource
+from etl_reconciliate_spark.target.table import TargetTable
+
+
+def replay(
+    spark: SparkSession,
+    changelog_path: str,
+    target_path: str,
+    slice_size: int = 250_000,
+    n_partitions: int | None = None,
+    max_slices: int | None = None,
+    collect_lineage: bool = True,
+    expire_keep: int = 2,
+) -> dict:
+    """Replay the change log into the target table; resumable.
+
+    Returns run statistics: events applied, slices, wall seconds of the
+    apply loop (excluding session startup), events/sec.
+    """
+    from pyspark.sql import types as T
+
+    n_partitions = n_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    source = ChangeLogSource(spark, changelog_path)
+    table = TargetTable(spark, target_path, n_buckets=n_partitions)
+
+    if not table.exists():
+        # Initial schema = key + payload columns of the earliest epoch;
+        # later epochs evolve it (add-column) through merge_apply.
+        first_epoch = spark.read.parquet(
+            f"{changelog_path}/{source._epochs[0]}"
+        ).schema
+        payload = T.StructType(
+            [f for f in first_epoch.fields if f.name not in ("lsn", "op")]
+        )
+        table.init(payload)
+
+    ckpt = CheckpointManager(table)
+    slices = ckpt.plan_slices(source.max_lsn(), slice_size)
+    if max_slices is not None:
+        slices = slices[:max_slices]
+
+    t0 = time.monotonic()
+    events = 0
+    for lo, hi in slices:
+        st = time.monotonic()
+        raw = source.read_slice(lo, hi)
+        # Lineage on the raw scan (input_file_name dies past a shuffle);
+        # this is the one extra job per slice and it reads only the lsn
+        # column + footers.
+        lineage = partition_lineage(raw) if collect_lineage else []
+        n_events = (
+            sum(r["rows"] for r in lineage) if collect_lineage else raw.count()
+        )
+        deduped = dedup_max_lsn(raw.repartition(n_partitions, *KEY_COLS))
+        ops = op_counts(deduped) if collect_lineage else {}
+        stats = table.merge_apply(deduped, ckpt.offsets_for(hi, lineage))
+        events += n_events
+        ckpt.append_manifest(
+            {
+                "slice": [lo, hi],
+                "events": n_events,
+                "ops": ops,
+                "snapshot": stats["version"],
+                "target_rows": stats["row_count"],
+                "secs": round(time.monotonic() - st, 3),
+            }
+        )
+        if expire_keep:
+            table.expire_snapshots(keep_last=expire_keep)
+
+    secs = time.monotonic() - t0
+    return {
+        "slices": len(slices),
+        "events": events,
+        "secs": secs,
+        "events_per_sec": events / secs if secs > 0 else float("inf"),
+        "final_lsn": ckpt.last_committed_lsn(),
+        "target_rows": table.metadata()["row_count"] if table.exists() else 0,
+    }

@@ -1,0 +1,251 @@
+"""Iceberg-semantics target table.
+
+No ``iceberg-spark-runtime`` jar ships offline with PySpark 4.1.2 (SURVEY
+§7.4), so the engine's sink is a small table abstraction with
+Iceberg-equivalent semantics implemented over parquet snapshots + JSON
+metadata + an atomically-swapped pointer file:
+
+* **snapshot isolation** — every MERGE writes a brand-new data directory
+  and metadata file; readers only ever see the version named by
+  ``_current``;
+* **atomic commit** — ``os.replace`` of the pointer file is the single
+  commit point; checkpoint offsets are embedded IN the snapshot
+  metadata, so offsets and data commit together (exactly-once without a
+  separate transaction coordinator — SURVEY §7.3);
+* **schema evolution** — each snapshot records its schema; columns
+  present in an incoming batch but absent from the table are appended
+  (add-column), and old snapshots read with nulls for them;
+* **idempotent MERGE** — per-row ``_lsn`` (last-applied LSN) and
+  ``_deleted`` tombstones make re-applying any overlapping or replayed
+  slice a no-op: a row only changes when the incoming LSN is strictly
+  newer (newer-LSN-wins; reference analog: the job-repository restart
+  state at springbatch-schema.sql:58-72, done right).
+
+On a real cluster the same interface binds to Iceberg
+(``spark.table`` + ``MERGE INTO`` + ``ALTER TABLE ADD COLUMN``); the
+engine code above this layer is backend-agnostic. At 100 TB the Iceberg
+backend would be bucket-partitioned on (conv_id, turn_idx) so the
+merge's storage-partitioned join avoids shuffling the target side; the
+emulation approximates this by hash-clustering data files on the key.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from etl_reconciliate_spark.schemas import KEY_COLS, META_LSN
+
+META_DELETED = "_deleted"
+META_COLS = [META_LSN, META_DELETED]
+
+
+class TargetTable:
+    """A versioned, MERGE-able table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 32):
+        self.spark = spark
+        self.path = path
+        self.n_buckets = n_buckets
+
+    # ------------------------------------------------------------ state
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "_current")
+
+    def exists(self) -> bool:
+        return os.path.exists(self._pointer)
+
+    def current_version(self) -> int:
+        with open(self._pointer) as f:
+            return int(f.read().strip())
+
+    def _meta_path(self, version: int) -> str:
+        return os.path.join(self.path, f"v{version:06d}.json")
+
+    def metadata(self, version: int | None = None) -> dict:
+        if version is None:
+            version = self.current_version()
+        with open(self._meta_path(version)) as f:
+            return json.load(f)
+
+    def schema(self) -> T.StructType:
+        """Current user-facing schema (no metadata columns)."""
+        return T.StructType.fromJson(self.metadata()["schema"])
+
+    def committed_offsets(self) -> dict:
+        """Checkpoint offsets committed atomically with the last snapshot."""
+        return self.metadata().get("offsets", {})
+
+    # ------------------------------------------------------------- init
+    def init(self, schema: T.StructType, offsets: dict | None = None) -> None:
+        """Create version 0: an empty snapshot."""
+        os.makedirs(self.path, exist_ok=True)
+        full = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField(META_LSN, T.LongType(), True),
+                T.StructField(META_DELETED, T.BooleanType(), True),
+            ]
+        )
+        data_dir = f"snap-{0:06d}"
+        self.spark.createDataFrame([], schema=full).write.mode("overwrite").parquet(
+            os.path.join(self.path, data_dir)
+        )
+        self._commit(0, schema, data_dir, offsets or {}, row_count=0, parent=None)
+
+    # ------------------------------------------------------------- read
+    def read(self, include_meta: bool = False, version: int | None = None) -> DataFrame:
+        """Current (or pinned-version) table contents.
+
+        Live rows only unless ``include_meta``; columns padded to the
+        CURRENT schema (old snapshots lack late-added columns — they
+        read as nulls, Iceberg-style)."""
+        meta = self.metadata(version)
+        df = self.spark.read.parquet(os.path.join(self.path, meta["data_dir"]))
+        want = T.StructType.fromJson(self.metadata()["schema"])  # latest schema
+        for f_ in want.fields:
+            if f_.name not in df.columns:
+                df = df.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+        if include_meta:
+            return df.select([f_.name for f_ in want.fields] + META_COLS)
+        return df.filter(~F.coalesce(F.col(META_DELETED), F.lit(False))).select(
+            [f_.name for f_ in want.fields]
+        )
+
+    # ------------------------------------------------------------ merge
+    def merge_apply(self, batch: DataFrame, offsets: dict) -> dict:
+        """MERGE a deduplicated change batch into the table.
+
+        ``batch`` must have exactly one row per key — the max-LSN winner
+        from ``operators.dedup`` — with columns
+        ``(lsn, op, <keys>, <payload...>)``. Semantics per row, vs the
+        current target row for the same key (if any):
+
+        * incoming ``lsn`` <= stored ``_lsn`` → keep the target row
+          (replay / out-of-order slice → no-op: idempotence);
+        * newer + op in (I, U) → upsert the payload (U on a missing key
+          inserts, like ``MERGE ... WHEN NOT MATCHED THEN INSERT``);
+        * newer + op = D → tombstone the key (kept with
+          ``_deleted=true`` so an even-later replayed slice still sees
+          the LSN high-water mark).
+
+        Schema evolution happens first: payload columns absent from the
+        table schema are appended. Returns commit statistics.
+        """
+        if not self.exists():
+            raise RuntimeError(f"target table at {self.path} not initialized")
+
+        cur_schema = self.schema()
+        batch_payload = [
+            c for c in batch.columns if c not in ("lsn", "op") and c not in META_COLS
+        ]
+        new_fields = [
+            f_ for f_ in batch.schema.fields
+            if f_.name in batch_payload and f_.name not in cur_schema.fieldNames()
+        ]
+        evolved = T.StructType(
+            list(cur_schema.fields)
+            + [T.StructField(f_.name, f_.dataType, True) for f_ in new_fields]
+        )
+
+        tgt = self.read(include_meta=True)  # padded to latest committed schema
+        for f_ in new_fields:
+            tgt = tgt.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+        src = batch
+        for f_ in evolved.fields:  # batch may lack late columns too (old slice)
+            if f_.name not in src.columns:
+                src = src.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+
+        payload_cols = [f_.name for f_ in evolved.fields if f_.name not in KEY_COLS]
+
+        t = tgt.alias("t")
+        s = src.alias("s")
+        cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in KEY_COLS]
+        joined = t.join(s, cond, "full_outer")
+
+        take_src = F.col("s.lsn").isNotNull() & (
+            F.col(f"t.{META_LSN}").isNull() | (F.col("s.lsn") > F.col(f"t.{META_LSN}"))
+        )
+        out_cols = [
+            F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k) for k in KEY_COLS
+        ]
+        out_cols += [
+            F.when(take_src, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            for c in payload_cols
+        ]
+        out_cols += [
+            F.when(take_src, F.col("s.lsn"))
+            .otherwise(F.col(f"t.{META_LSN}"))
+            .alias(META_LSN),
+            F.when(take_src, F.col("s.op") == F.lit("D"))
+            .otherwise(F.coalesce(F.col(f"t.{META_DELETED}"), F.lit(False)))
+            .alias(META_DELETED),
+        ]
+        merged = joined.select(out_cols)
+
+        version = self.current_version() + 1
+        data_dir = f"snap-{version:06d}-{uuid.uuid4().hex[:8]}"
+        out_path = os.path.join(self.path, data_dir)
+        # Hash-cluster files on the key (emulating Iceberg bucket
+        # partitioning) so downstream reads are co-located.
+        merged.repartition(self.n_buckets, *KEY_COLS).write.mode("overwrite").parquet(
+            out_path
+        )
+        row_count = self.spark.read.parquet(out_path).count()
+        self._commit(
+            version, evolved, data_dir, offsets,
+            row_count=row_count, parent=version - 1,
+        )
+        return {"version": version, "row_count": row_count, "data_dir": data_dir}
+
+    # ----------------------------------------------------------- commit
+    def _commit(
+        self,
+        version: int,
+        schema: T.StructType,
+        data_dir: str,
+        offsets: dict,
+        row_count: int,
+        parent: int | None,
+    ) -> None:
+        meta = {
+            "version": version,
+            "schema": schema.jsonValue(),
+            "data_dir": data_dir,
+            "offsets": offsets,
+            "row_count": row_count,
+            "parent": parent,
+        }
+        mp = self._meta_path(version)
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1, sort_keys=True)
+        os.replace(tmp, mp)
+        ptmp = self._pointer + ".tmp"
+        with open(ptmp, "w") as f:
+            f.write(str(version))
+        os.replace(ptmp, self._pointer)  # THE atomic commit point
+
+    # ---------------------------------------------------------- history
+    def versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.path):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def expire_snapshots(self, keep_last: int = 2) -> None:
+        """Drop data dirs + metadata of all but the newest snapshots."""
+        vs = self.versions()
+        cur = self.current_version()
+        for v in vs[:-keep_last]:
+            if v == cur:
+                continue
+            meta = self.metadata(v)
+            shutil.rmtree(os.path.join(self.path, meta["data_dir"]), ignore_errors=True)
+            os.remove(self._meta_path(v))

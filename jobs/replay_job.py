@@ -1,0 +1,66 @@
+"""spark-submit entrypoint: CDC replay of a transcript change log.
+
+Packaging per BASELINE.json:6,14 — the engine ships as modular
+py-files::
+
+    zip -r engine.zip etl_reconciliate_spark
+    spark-submit --master local[32] --py-files engine.zip \
+        jobs/replay_job.py --changelog /path/log --target /path/tbl \
+        [--slice-size 250000] [--gen-events N]   # gen a seeded log first
+
+Prints one JSON line with the run stats (events applied, wall seconds
+of the apply loop, events/sec) — the measurement contract of
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--changelog", required=True)
+    ap.add_argument("--target", required=True)
+    ap.add_argument("--slice-size", type=int, default=250_000)
+    ap.add_argument("--gen-events", type=int, default=0,
+                    help="generate a seeded change log at --changelog first")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--no-lineage", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("cdc_replay").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from etl_reconciliate_spark.datagen import (
+        gen_changelog,
+        tool_epoch_lsn,
+        write_changelog,
+    )
+    from etl_reconciliate_spark.streaming.runner import replay
+
+    if args.gen_events:
+        df = gen_changelog(args.gen_events, seed=args.seed)
+        write_changelog(
+            spark, df, args.changelog, epoch_lsn=tool_epoch_lsn(args.gen_events)
+        )
+
+    stats = replay(
+        spark,
+        args.changelog,
+        args.target,
+        slice_size=args.slice_size,
+        n_partitions=args.partitions,
+        collect_lineage=not args.no_lineage,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

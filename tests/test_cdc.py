@@ -1,0 +1,142 @@
+"""End-to-end CDC replay: dedup → repartition → MERGE, vs the pandas
+fold oracle; exactly-once replay, kill/resume, schema evolution."""
+
+import pandas as pd
+import pytest
+
+from etl_reconciliate_spark.datagen import (
+    fold_changelog,
+    gen_changelog,
+    tool_epoch_lsn,
+    write_changelog,
+)
+from etl_reconciliate_spark.operators.dedup import dedup_max_lsn
+from etl_reconciliate_spark.schemas import CHANGELOG_SCHEMA
+from etl_reconciliate_spark.streaming.runner import replay
+from etl_reconciliate_spark.target.table import TargetTable
+
+N = 12_000
+
+
+@pytest.fixture(scope="module")
+def changelog_df():
+    return gen_changelog(N, seed=42)
+
+
+@pytest.fixture(scope="module")
+def changelog_path(spark, changelog_df, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("cdc") / "changelog")
+    write_changelog(spark, changelog_df, p, epoch_lsn=tool_epoch_lsn(N))
+    return p
+
+
+def read_target(spark, path) -> pd.DataFrame:
+    t = TargetTable(spark, path)
+    pdf = t.read().toPandas()
+    return pdf.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(
+        drop=True
+    )
+
+
+def assert_matches_oracle(spark, target_path, changelog_df):
+    got = read_target(spark, target_path)
+    want = fold_changelog(changelog_df)
+    got = got[want.columns.tolist()].reset_index(drop=True)
+    want = want.reset_index(drop=True)
+    got["ts"] = pd.to_datetime(got["ts"]).astype("datetime64[us]")
+    want["ts"] = pd.to_datetime(want["ts"]).astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_dedup_max_lsn(spark):
+    rows = [
+        (10, "I", "c1", 0, "user", "a", None, None),
+        (12, "U", "c1", 0, "user", "b", None, None),
+        (12, "U", "c1", 0, "user", "b", None, None),  # duplicate delivery
+        (11, "U", "c1", 0, "user", "stale", None, None),
+        (5, "I", "c2", 3, "user", "z", None, None),
+    ]
+    df = spark.createDataFrame(rows, schema=CHANGELOG_SCHEMA)
+    out = dedup_max_lsn(df).orderBy("conv_id").collect()
+    assert len(out) == 2
+    assert out[0]["text"] == "b" and out[0]["lsn"] == 12
+    assert out[1]["text"] == "z"
+
+
+def test_replay_matches_oracle(spark, changelog_df, changelog_path, tmp_path):
+    tgt = str(tmp_path / "target")
+    stats = replay(spark, changelog_path, tgt, slice_size=3000)
+    assert stats["slices"] == 4
+    assert stats["events"] == len(changelog_df)
+    assert_matches_oracle(spark, tgt, changelog_df)
+
+
+def test_replay_is_idempotent(spark, changelog_df, changelog_path, tmp_path):
+    tgt = str(tmp_path / "target")
+    replay(spark, changelog_path, tgt, slice_size=4000)
+    v1 = TargetTable(spark, tgt).current_version()
+    # full second replay: offsets say everything applied → zero slices
+    stats = replay(spark, changelog_path, tgt, slice_size=4000)
+    assert stats["slices"] == 0
+    assert TargetTable(spark, tgt).current_version() == v1
+    assert_matches_oracle(spark, tgt, changelog_df)
+
+
+def test_overlapping_reapply_is_noop(spark, changelog_df, changelog_path, tmp_path):
+    """Row-level idempotence: force re-merge of an already-applied slice
+    (simulates a crash after data write but before... no — after commit,
+    with a replayed transport). Final state unchanged."""
+    from etl_reconciliate_spark.sources.changelog import ChangeLogSource
+    from etl_reconciliate_spark.schemas import KEY_COLS
+
+    tgt = str(tmp_path / "target")
+    replay(spark, changelog_path, tgt, slice_size=5000)
+    table = TargetTable(spark, tgt)
+    src = ChangeLogSource(spark, changelog_path)
+    sl = src.read_slice(2000, 7000)  # mid-log slice, already applied
+    deduped = dedup_max_lsn(sl.repartition(8, *KEY_COLS))
+    table.merge_apply(deduped, table.committed_offsets())
+    assert_matches_oracle(spark, tgt, changelog_df)
+
+
+def test_kill_and_resume(spark, changelog_df, changelog_path, tmp_path):
+    tgt = str(tmp_path / "target")
+    s1 = replay(spark, changelog_path, tgt, slice_size=2500, max_slices=2)
+    assert s1["slices"] == 2
+    s2 = replay(spark, changelog_path, tgt, slice_size=2500)
+    assert s2["slices"] > 0
+    assert s1["events"] + s2["events"] == len(changelog_df)
+    assert_matches_oracle(spark, tgt, changelog_df)
+
+
+def test_schema_evolution(spark, changelog_df, changelog_path, tmp_path):
+    """Early slices lack `tool` entirely; the column must appear in the
+    target schema once post-epoch slices arrive, with old rows null."""
+    epoch = tool_epoch_lsn(N)
+    tgt = str(tmp_path / "target")
+    # first replay only pre-epoch slices
+    pre = replay(spark, changelog_path, tgt, slice_size=epoch, max_slices=1)
+    table = TargetTable(spark, tgt)
+    assert "tool" not in table.schema().fieldNames()
+    assert pre["final_lsn"] == epoch - 1  # slice is (-1, epoch-1]
+    # then the rest — schema evolves
+    replay(spark, changelog_path, tgt, slice_size=N)
+    table = TargetTable(spark, tgt)
+    assert "tool" in table.schema().fieldNames()
+    assert_matches_oracle(spark, tgt, changelog_df)
+
+
+def test_lineage_manifest(spark, changelog_path, changelog_df, tmp_path):
+    from etl_reconciliate_spark.plans.checkpoint import CheckpointManager
+
+    tgt = str(tmp_path / "target")
+    replay(spark, changelog_path, tgt, slice_size=4000)
+    table = TargetTable(spark, tgt)
+    man = CheckpointManager(table).manifest()
+    assert len(man) == 3
+    assert sum(r["events"] for r in man) == len(changelog_df)
+    # per-partition offsets committed atomically with the snapshot
+    offs = table.committed_offsets()
+    assert offs["lsn_hi"] == N - 1
+    assert len(offs["partitions"]) > 0
+    assert sum(p["rows"] for p in offs["partitions"]) > 0
