@@ -94,8 +94,11 @@ def salted_full_outer(
     salt_l = l_hot.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in l_hot.columns]), F.lit(n_salts))
     )
-    salt_r = r_hot.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).cast("long")
+    salt_r = (
+        r_hot.withColumn("_salt_arr", F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        .withColumn("_salt_i", F.explode("_salt_arr"))
+        .withColumn("_salt", F.col("_salt_i").cast("long"))
+        .drop("_salt_arr", "_salt_i")
     )
     matched = salt_l.join(
         salt_r, join_cond & (salt_l["_salt"] == salt_r["_salt"]), "inner"

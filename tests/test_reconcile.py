@@ -1,0 +1,112 @@
+"""Transcript reconciliation: classification, Arrow text compare,
+salted hot-key path equivalence, conversation rollup."""
+
+import datetime
+
+import pytest
+
+from etl_reconciliate_spark.operators.reconcile import (
+    reconcile,
+    rollup_conversations,
+    status_counts,
+)
+from etl_reconciliate_spark.schemas import TRANSCRIPTS_SCHEMA
+
+TS = datetime.datetime(2026, 1, 1)
+
+
+def _df(spark, rows):
+    # rows: (conv_id, turn_idx, text)
+    return spark.createDataFrame(
+        [(c, t, "user", x, None, TS) for c, t, x in rows], schema=TRANSCRIPTS_SCHEMA
+    )
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    src = _df(
+        spark,
+        [
+            ("c1", 0, "hello"),
+            ("c1", 1, "world"),
+            ("c2", 0, "only-in-source"),
+            ("c3", 0, "same"),
+            ("c3", 1, "src-version"),
+            ("c4", 0, None),  # null text both sides → MATCH
+        ],
+    )
+    tgt = _df(
+        spark,
+        [
+            ("c1", 0, "hello"),
+            ("c1", 1, "world"),
+            ("c3", 0, "same"),
+            ("c3", 1, "tgt-version"),
+            ("c4", 0, None),
+            ("c5", 0, "only-in-target"),
+        ],
+    )
+    return src, tgt
+
+
+def _counts(df):
+    return {r["status"]: r["n"] for r in status_counts(df).collect()}
+
+
+def test_classification(spark, frames):
+    src, tgt = frames
+    rec = reconcile(src, tgt)
+    assert _counts(rec) == {
+        "MATCH": 4,
+        "SOURCE_ONLY": 1,
+        "TARGET_ONLY": 1,
+        "VALUE_DISCREPANCY": 1,
+    }
+    rows = {(r["conv_id"], r["turn_idx"]): r["status"] for r in rec.collect()}
+    assert rows[("c2", 0)] == "SOURCE_ONLY"
+    assert rows[("c5", 0)] == "TARGET_ONLY"
+    assert rows[("c3", 1)] == "VALUE_DISCREPANCY"
+    assert rows[("c4", 0)] == "MATCH"  # null == null (null-safe)
+
+
+def test_stable_ordering(spark, frames):
+    src, tgt = frames
+    keys = [(r["conv_id"], r["turn_idx"]) for r in reconcile(src, tgt).collect()]
+    assert keys == sorted(keys)
+
+
+def test_salted_path_equals_plain(spark, frames):
+    """Force everything through the hot-key legs (threshold 0) — results
+    must be identical to the plain full outer join."""
+    src, tgt = frames
+    plain = _counts(reconcile(src, tgt, hot_threshold=10**9))
+    salted = _counts(reconcile(src, tgt, hot_threshold=0, n_salts=4))
+    assert plain == salted
+
+
+def test_salted_many_to_many(spark):
+    """Hot key with multiple rows per side: salted join must produce the
+    full per-key cross product, like a plain join."""
+    rows_s = [("hot", 0, f"s{i}") for i in range(6)] + [("cold", 1, "x")]
+    rows_t = [("hot", 0, f"t{i}") for i in range(5)] + [("cold2", 2, "y")]
+    src, tgt = _df(spark, rows_s), _df(spark, rows_t)
+    from etl_reconciliate_spark.operators.skew import salted_full_outer
+
+    plain = src.join(tgt, ["conv_id", "turn_idx"], "full_outer").count()
+    salted = salted_full_outer(
+        src, tgt, ["conv_id", "turn_idx"], n_salts=4, hot_threshold=2
+    ).count()
+    assert salted == plain == 6 * 5 + 2
+
+
+def test_rollup(spark, frames):
+    src, tgt = frames
+    roll = rollup_conversations(reconcile(src, tgt))
+    st = {r["conv_id"]: r["conv_status"] for r in roll.collect()}
+    assert st == {
+        "c1": "OK",
+        "c2": "MISSING_IN_TARGET",
+        "c3": "TEXT_DISCREPANCY",
+        "c4": "OK",
+        "c5": "EXTRA_IN_TARGET",
+    }
