@@ -1,0 +1,33 @@
+"""Portable deterministic hashing expressions.
+
+``hash32`` produces the SAME value in Spark and DuckDB, so every
+hash-based operator (minhash, simhash, LSH bands, fingerprints) is
+oracle-checkable:
+
+* Spark : ``conv(substring(md5(x), 1, 8), 16, 10)::long``
+* DuckDB: ``('0x' || substr(md5(x), 1, 8))::BIGINT``
+
+At 100 TB you'd swap md5 for ``xxhash64`` (JVM-side, ~10× faster, same
+operator shapes) — md5 is the cross-engine-verifiable stand-in; the
+seam is this one function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def hash32(col: Column, seed: int | None = None) -> Column:
+    """Deterministic unsigned 32-bit hash of a column (as long)."""
+    c = col.cast("string")
+    if seed is not None:
+        c = F.concat(F.lit(f"{seed}\x01"), c)
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def hash32_sql(expr: str, seed: int | None = None) -> str:
+    """The DuckDB-side rendering of the same hash (for oracle_sql)."""
+    inner = f"CAST({expr} AS VARCHAR)"
+    if seed is not None:
+        inner = f"concat('{seed}' || chr(1), {inner})"
+    return f"CAST(('0x' || substr(md5({inner}), 1, 8)) AS BIGINT)"

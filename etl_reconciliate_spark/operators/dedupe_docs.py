@@ -1,0 +1,285 @@
+"""Document deduplication operators for training-data pipelines.
+
+Five families, each a DataFrame→DataFrame operator with a DuckDB oracle
+(see __spark_entry__.py) where SQL can express it:
+
+* exact        — fingerprint groupBy (md5 of normalized text);
+* n-gram Jaccard — exact set overlap over char-k-gram shingles;
+* MinHash+LSH  — signature → banding → bucket join → candidate pairs
+                 (the at-scale path: candidates ∝ near-dups, not n²);
+* SimHash      — 32-bit sign-aggregated token hashes + hamming buckets;
+* embedding    — cosine near-dup over `embedding: array<float>`.
+
+Everything is native column algebra (codegen'd); hashes via the portable
+``hash32`` (functions/hashing.py) so DuckDB verifies values bit-for-bit.
+
+Scale notes: shingling explodes ~|text| rows per doc — at 100 TB run it
+per-partition with ``spark.sql.files.maxPartitionBytes`` lowered so the
+exploded partitions stay in memory; the minhash groupBy is a single
+shuffle on doc_id; LSH bucket join shuffles on (band, band_hash) whose
+cardinality ≈ n_docs × n_bands — never n². The exact-Jaccard verifier
+only runs on LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from etl_reconciliate_spark.functions.hashing import hash32
+from etl_reconciliate_spark.operators.textstats import with_fingerprint
+
+# ---------------------------------------------------------------- exact
+
+def exact_duplicate_groups(docs: DataFrame) -> DataFrame:
+    """Fingerprint groups with >1 doc: (fingerprint, n_docs, keep_doc_id)."""
+    fp = with_fingerprint(docs)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Keep the min-doc_id representative of every fingerprint group."""
+    fp = with_fingerprint(docs)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "fingerprint")
+    )
+
+
+# ------------------------------------------------------------- shingles
+
+def char_shingles(docs: DataFrame, k: int = 8, text_col: str = "text") -> DataFrame:
+    """Distinct char-k-gram shingles per doc: (doc_id, shingle).
+    Normalization: lowercase + whitespace collapse. Short docs (<k chars)
+    contribute their whole text as one shingle."""
+    norm = F.lower(
+        F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "))
+    )
+    d = docs.select("doc_id", norm.alias("_t"))
+    n = F.length("_t")
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return (
+        d.withColumn("_i", F.explode(idx))
+        .select("doc_id", F.expr(f"substr(_t, _i, {k})").alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int = 8, threshold: float = 0.5
+) -> DataFrame:
+    """EXACT Jaccard similarity over char-k-gram shingle sets for all
+    pairs sharing ≥1 shingle; filtered to ≥ threshold. The shingle
+    self-join is the quadratic baseline — compose with LSH candidates
+    (below) at scale."""
+    sh = char_shingles(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+# ---------------------------------------------------------- MinHash/LSH
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 8, n_hashes: int = 16
+) -> DataFrame:
+    """(doc_id, h0..h{n-1}): per-seed min of hash32 over the shingle set.
+    One groupBy, n_hashes parallel min-aggregates (map-side combined)."""
+    sh = char_shingles(docs, k)
+    aggs = [
+        F.min(hash32(F.col("shingle"), seed=i)).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, n_bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature, bucket-join on (band, band_hash): docs
+    agreeing on ALL rows of any band become a candidate pair."""
+    n_hashes = n_bands * rows_per_band
+    bands = []
+    for b_ in range(n_bands):
+        cols = [F.col(f"h{b_ * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            F.struct(
+                F.lit(b_).alias("band"),
+                F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias(
+                    "bh"
+                ),
+            )
+        )
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: signatures → banded candidates →
+    signature-estimated Jaccard ≥ threshold.
+    Returns (doc_a, doc_b, est_jaccard)."""
+    n_hashes = n_bands * rows_per_band
+    sig = minhash_signatures(docs, k, n_hashes)
+    cand = lsh_candidate_pairs(sig, n_bands, rows_per_band)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(n_hashes)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(n_hashes)],
+    )
+    est = None
+    for i in range(n_hashes):
+        e = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        est = e if est is None else est + e
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("est_jaccard", est / F.lit(float(n_hashes)))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+# --------------------------------------------------------------- SimHash
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """32-bit SimHash over whitespace tokens: bit j is the sign of
+    Σ_tokens (2·bit_j(hash32(token)) − 1). Near-dups share low hamming
+    distance. One explode + one groupBy with `bits` conditional sums."""
+    norm = F.lower(
+        F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "))
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(norm, " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    h = hash32(F.col("tok"))
+    aggs = [
+        F.sum(
+            F.when(((h.bitwiseAND(F.lit(1 << j))) != 0), 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return per_doc.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming, found
+    via 4-block bucketing (pigeonhole: ≤3 differing bits → at least one
+    of 4 8-bit blocks identical) — candidates ∝ matches, not n²."""
+    sh = simhash(docs)
+    blocks = [
+        F.struct(
+            F.lit(i).alias("blk"),
+            (F.shiftrightunsigned(F.col("simhash"), i * 8).bitwiseAND(F.lit(255)))
+            .alias("bv"),
+        )
+        for i in range(4)
+    ]
+    b = sh.select("doc_id", "simhash", F.explode(F.array(*blocks)).alias("bb")).select(
+        "doc_id", "simhash", F.col("bb.blk").alias("blk"), F.col("bb.bv").alias("bv")
+    )
+    l, r = b.alias("l"), b.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("sim_a"),
+            F.col("r.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    ).select("doc_a", "doc_b", "hamming")
+
+
+# ------------------------------------------------------------ embeddings
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine near-duplicates over `array<float>` embeddings — the
+    brute-force O(n²) baseline (native zip_with/aggregate, no UDF).
+    Compose with `similarity.lsh_buckets` at scale."""
+    def norm(df, suffix):
+        v = F.col(vec_col).cast("array<double>")
+        return df.select(
+            F.col(id_col).alias(f"id_{suffix}"),
+            v.alias(f"v_{suffix}"),
+            F.sqrt(
+                F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+            ).alias(f"n_{suffix}"),
+        )
+
+    a, b = norm(emb, "a"), norm(emb, "b")
+    dot = F.aggregate(
+        F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (F.col("n_a") * F.col("n_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

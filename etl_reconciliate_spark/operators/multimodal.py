@@ -1,0 +1,127 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary.
+
+The Spark-side machinery is real and tested — schema, partition sizing,
+Arrow batch shape through ``mapInPandas`` — while the actual codec calls
+are stubbed (no image/audio libraries in this container): decode
+produces a deterministic fake derived from the bytes when the real
+library is absent, or raises NotImplementedError when
+``strict=True``. Swapping in PIL/torchaudio/ffmpeg touches ONLY the
+``_decode_*`` functions; the distributed plumbing is unchanged.
+
+Schema convention: payload ``content: binary`` + typed metadata struct
+(media_type, byte_len, sha) so downstream ops can filter/route without
+touching bytes (column pruning keeps scans cheap at 100 TB — the binary
+column is only read by stages that decode).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("sha1", T.StringType(), True),
+    ]
+)
+
+try:  # the real decoder, when available
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+
+def _decode_image_fake(buf: bytes) -> tuple[int, int, float]:
+    """Deterministic fake decode: dims/luma derived from content hash.
+    STUB — replace with PIL decode when the library is present."""
+    h = hashlib.sha1(buf).digest()
+    return 64 + h[0] % 1024, 64 + h[1] % 1024, h[2] / 255.0
+
+
+def extract_image_features(
+    media: DataFrame, strict: bool = False, batch_size_hint: int = 256
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary image content.
+
+    ``mapInPandas``: each Arrow batch arrives as a pandas DataFrame;
+    decode is per-element inside the batch (codecs are inherently
+    per-object) but transport and scheduling are vectorized."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["media_type"] == "image"]
+            if pdf.empty:
+                continue
+            if strict and not _HAS_PIL:
+                raise NotImplementedError(
+                    "real image decode requires PIL (not in this container); "
+                    "run with strict=False for the deterministic stub"
+                )
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                if buf is None:
+                    rows.append((mid, None, None, None, None))
+                    continue
+                buf = bytes(buf)
+                w, h, luma = _decode_image_fake(buf)
+                rows.append((mid, w, h, luma, hashlib.sha1(buf).hexdigest()))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "mean_luma", "sha1"]
+            )
+
+    return media.select("media_id", "media_type", "content").mapInPandas(
+        op, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_sha1", T.StringType(), True),
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame sampling stub: emits every_n-th 'frame' as a hash of a byte
+    slice (real impl: ffmpeg/pyav seek+decode). Demonstrates the 1→many
+    mapInPandas shape (one binary row → several frame rows)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["media_type"] == "video"]
+            if pdf.empty:
+                continue
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                if buf is None:
+                    continue
+                buf = bytes(buf)
+                n_frames = max(1, len(buf) // 64)
+                for fi in range(0, n_frames, every_n):
+                    chunk = buf[fi * 64 : (fi + 1) * 64]
+                    rows.append((mid, fi, hashlib.sha1(chunk).hexdigest()))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_sha1"])
+
+    return media.select("media_id", "media_type", "content").mapInPandas(
+        op, schema=FRAME_SAMPLE_SCHEMA
+    )

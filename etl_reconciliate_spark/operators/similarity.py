@@ -1,0 +1,183 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two paths:
+
+* ``cosine_topk`` — exact brute force: broadcast the (small) query set,
+  score with native ``zip_with``/``aggregate`` (JVM-side, codegen'd,
+  no UDF), window-rank per query. O(n_queries × n_vectors) — correct
+  baseline and fine when queries are few.
+* ``lsh_cosine_topk`` — random-hyperplane LSH: deterministic
+  pseudo-random planes (hash32-derived coefficients — reproducible
+  across runs and engines, no RNG state to ship), bucket vectors by the
+  sign pattern, probe only the query's bucket (+ optional multiprobe by
+  flipping bits), exact re-rank inside the bucket. At 10^9 vectors the
+  bucket join replaces the full scan; recall is tested against the
+  brute-force oracle in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from etl_reconciliate_spark.functions.hashing import hash32
+
+
+def _norm_cols(df: DataFrame, id_col: str, vec_col: str, suffix: str) -> DataFrame:
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col).alias(f"id_{suffix}"),
+        v.alias(f"v_{suffix}"),
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)).alias(
+            f"n_{suffix}"
+        ),
+    )
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine per query: (query_id, vec_id, cosine, rank).
+    Ties broken by vec_id for determinism. Self-matches excluded."""
+    v = _norm_cols(vectors, id_col, vec_col, "v")
+    q = _norm_cols(queries, query_id_col, vec_col, "q")
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("id_v") != F.col("id_q"))
+        .withColumn(
+            "cosine",
+            _dot("v_v", "v_q")
+            / (F.greatest(F.col("n_v"), F.lit(1e-12)) * F.greatest(F.col("n_q"), F.lit(1e-12))),
+        )
+    )
+    w = Window.partitionBy("id_q").orderBy(F.col("cosine").desc(), F.col("id_v").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id_q").alias("query_id"),
+            F.col("id_v").alias("vec_id"),
+            F.col("cosine"),
+            F.col("rank"),
+        )
+    )
+
+
+def _plane_sign_bits(vec_col: str, dim: int, n_planes: int):
+    """Sign bit of <v, plane_p> for deterministic planes:
+    plane_p[d] = (hash32('p:d') % 2001 - 1000) / 1000 ∈ [-1, 1]."""
+    bits = []
+    for p in range(n_planes):
+        coeffs = F.array(
+            *[
+                ((hash32(F.lit(f"{p}:{d}")) % 2001 - 1000) / F.lit(1000.0))
+                for d in range(dim)
+            ]
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), coeffs, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b_ in bits[1:]:
+        out = out + b_
+    return out
+
+
+def lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vector, bucket): sign-pattern bucket id from n_planes
+    deterministic hyperplanes."""
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col).alias("id"),
+        v.alias("vec"),
+        _plane_sign_bits(vec_col, dim, n_planes).alias("bucket"),
+    )
+
+
+def lsh_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    multiprobe_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: join on LSH bucket (query probes its own
+    bucket plus every bucket at hamming distance ≤ multiprobe_bits),
+    exact cosine re-rank within the probed buckets."""
+    vb = lsh_buckets(vectors, dim, n_planes, id_col, vec_col)
+    qb = lsh_buckets(queries, dim, n_planes, id_col, vec_col)
+
+    probes = [F.col("bucket")]
+    if multiprobe_bits >= 1:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
+        ]
+    if multiprobe_bits >= 2:
+        from itertools import combinations
+
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit((1 << p) | (1 << r)))
+            for p, r in combinations(range(n_planes), 2)
+        ]
+    q = qb.select(
+        F.col("id").alias("id_q"),
+        F.col("vec").alias("v_q"),
+        F.explode(F.array(*probes)).alias("probe"),
+    ).withColumn(
+        "n_q",
+        F.sqrt(F.aggregate(F.col("v_q"), F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    v = vb.select(
+        F.col("id").alias("id_v"),
+        F.col("vec").alias("v_v"),
+        F.col("bucket").alias("probe"),
+    ).withColumn(
+        "n_v",
+        F.sqrt(F.aggregate(F.col("v_v"), F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    scored = (
+        q.join(v, "probe")
+        .filter(F.col("id_v") != F.col("id_q"))
+        .withColumn(
+            "cosine",
+            _dot("v_v", "v_q")
+            / (F.greatest(F.col("n_v"), F.lit(1e-12)) * F.greatest(F.col("n_q"), F.lit(1e-12))),
+        )
+        .select("id_q", "id_v", "cosine")
+        .distinct()  # multiprobe may hit the same pair twice
+    )
+    w = Window.partitionBy("id_q").orderBy(F.col("cosine").desc(), F.col("id_v").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id_q").alias("query_id"),
+            F.col("id_v").alias("vec_id"),
+            "cosine",
+            "rank",
+        )
+    )

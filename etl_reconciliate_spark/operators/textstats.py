@@ -1,0 +1,208 @@
+"""Text analysis operators for training-data pipelines.
+
+All expressions are native ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen'd — no Python in the hot path) and every operator
+has an exact DuckDB-SQL mirror for the oracle check. Operates on the
+``documents`` table shape (doc_id, text, lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------- tokens
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (0 for empty/blank/null)."""
+    t = F.trim(F.coalesce(col, F.lit("")))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND
+    letter/digit/punct boundaries (a cheap BPE proxy — counts pieces a
+    byte-pair tokenizer would not merge across)."""
+    t = F.coalesce(col, F.lit(""))
+    # insert breaks between character classes, then count pieces
+    marked = F.regexp_replace(t, r"([0-9])([^0-9\s])|([^\s0-9a-zA-Z])", r"$1$3 $2")
+    return token_count(marked)
+
+
+# --------------------------------------------------------------- quality
+
+def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-score a corpus: length, token stats, punctuation /
+    uppercase / digit / stopword ratios, and a composite [0,1] score.
+    Mirrors the heuristics of public corpus-cleaning pipelines
+    (C4/Gopher-style rules), expressed as pure column algebra."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    safe_tokens = F.greatest(n_tokens, F.lit(1)).cast("double")
+
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[!-/:-@\[-`{-~]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    lower = F.lower(t)
+    n_stop = F.lit(0)
+    for w in ("the", "and", "of", "to", "in"):
+        pat = f" {w} "
+        n_stop = n_stop + (
+            (F.length(lower) - F.length(F.replace(lower, F.lit(pat), F.lit(""))))
+            / F.lit(len(pat))
+        ).cast("int")
+
+    punct_ratio = (n_punct / safe_chars).alias("punct_ratio")
+    upper_ratio = (n_upper / safe_chars).alias("upper_ratio")
+    digit_ratio = (n_digit / safe_chars).alias("digit_ratio")
+    stop_ratio = (n_stop / safe_tokens).alias("stopword_ratio")
+    mean_tok_len = (safe_chars / safe_tokens).alias("mean_token_len")
+
+    score = (
+        F.lit(1.0)
+        - F.least(F.lit(1.0), n_punct / safe_chars * 4)* F.lit(0.25)
+        - F.least(F.lit(1.0), n_digit / safe_chars * 4) * F.lit(0.25)
+        - F.least(F.lit(1.0), n_upper / safe_chars * 4) * F.lit(0.25)
+        - F.when(n_tokens < 5, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        punct_ratio,
+        upper_ratio,
+        digit_ratio,
+        stop_ratio,
+        mean_tok_len,
+        score.alias("quality_score"),
+    )
+
+
+QUALITY_ORACLE_SQL = r"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+), m AS (
+  SELECT doc_id, t,
+    length(t) AS n_chars_m,
+    CASE WHEN length(trim(t)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(t), '\s+')) END AS n_tokens,
+    length(t) - length(regexp_replace(t, '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct,
+    length(t) - length(regexp_replace(t, '[A-Z]', '', 'g')) AS n_upper,
+    length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS n_digit,
+    CAST((length(lower(t)) - length(replace(lower(t), ' the ', ''))) / 5 AS INT)
+      + CAST((length(lower(t)) - length(replace(lower(t), ' and ', ''))) / 5 AS INT)
+      + CAST((length(lower(t)) - length(replace(lower(t), ' of ', ''))) / 4 AS INT)
+      + CAST((length(lower(t)) - length(replace(lower(t), ' to ', ''))) / 4 AS INT)
+      + CAST((length(lower(t)) - length(replace(lower(t), ' in ', ''))) / 4 AS INT)
+      AS n_stop
+  FROM base
+)
+SELECT doc_id, n_chars_m, n_tokens,
+  n_punct / greatest(n_chars_m, 1) AS punct_ratio,
+  n_upper / greatest(n_chars_m, 1) AS upper_ratio,
+  n_digit / greatest(n_chars_m, 1) AS digit_ratio,
+  n_stop / greatest(n_tokens, 1) AS stopword_ratio,
+  greatest(n_chars_m, 1) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS mean_token_len,
+  1.0 - least(1.0, n_punct / greatest(n_chars_m, 1) * 4) * 0.25
+      - least(1.0, n_digit / greatest(n_chars_m, 1) * 4) * 0.25
+      - least(1.0, n_upper / greatest(n_chars_m, 1) * 4) * 0.25
+      - CASE WHEN n_tokens < 5 THEN 0.25 ELSE 0.0 END AS quality_score
+FROM m
+"""
+
+
+# --------------------------------------------------------------- lang id
+
+LANG_MARKERS = {
+    "en": [" the ", " and ", " is "],
+    "es": [" el ", " la ", " que ", " los "],
+    "de": [" der ", " und ", " die ", " ist "],
+    "fr": [" le ", " les ", " est ", " une "],
+}
+
+
+def _marker_score(lower: Column, markers: list[str]) -> Column:
+    s = F.lit(0)
+    for m_ in markers:
+        s = s + (
+            (F.length(lower) - F.length(F.replace(lower, F.lit(m_), F.lit(""))))
+            / F.lit(len(m_))
+        ).cast("int")
+    return s
+
+
+def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-n-gram language ID over {en,es,de,fr} ('und' when no
+    marker hits). Greatest-score wins; ties break by language order via
+    a structured argmax (greatest over (score, rank) structs)."""
+    lower = F.concat(F.lit(" "), F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(" "))
+    scores = {lang: _marker_score(lower, ms) for lang, ms in LANG_MARKERS.items()}
+    # argmax via greatest(struct(score, priority, lang))
+    structs = [
+        F.struct(
+            scores[lang].alias("s"),
+            F.lit(-i).alias("prio"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(LANG_MARKERS)
+    ]
+    best = F.greatest(*structs)
+    out = docs.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+        F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+    )
+    return out
+
+
+def lang_id_oracle_sql() -> str:
+    score_exprs, cols = [], []
+    for lang, ms in LANG_MARKERS.items():
+        parts = [
+            f"CAST((length(lo) - length(replace(lo, '{m_}', ''))) / {len(m_)} AS INT)"
+            for m_ in ms
+        ]
+        score_exprs.append(f"({' + '.join(parts)}) AS score_{lang}")
+        cols.append(f"score_{lang}")
+    langs = list(LANG_MARKERS)
+    # argmax with first-listed-language tie-break
+    cmp = f"GREATEST({', '.join(cols)})"
+    pick = "CASE "
+    for lang in langs:
+        pick += f"WHEN score_{lang} = {cmp} THEN '{lang}' "
+    pick += "END"
+    return f"""
+WITH base AS (
+  SELECT doc_id, concat(' ', lower(coalesce(text, '')), ' ') AS lo FROM documents
+), s AS (
+  SELECT doc_id, {', '.join(score_exprs)} FROM base
+)
+SELECT doc_id, {', '.join(cols)},
+  CASE WHEN {cmp} > 0 THEN {pick} ELSE 'und' END AS lang_pred
+FROM s
+"""
+
+
+# ----------------------------------------------------------- fingerprint
+
+def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text
+    — the exact-dedup key (rolling-hash-equivalent at document scope)."""
+    norm = F.lower(
+        F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "))
+    )
+    return docs.select(
+        "doc_id", F.md5(norm).alias("fingerprint"), F.length(norm).alias("norm_len")
+    )
+
+
+FINGERPRINT_ORACLE_SQL = r"""
+SELECT doc_id,
+  md5(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))) AS fingerprint,
+  length(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))) AS norm_len
+FROM documents
+"""

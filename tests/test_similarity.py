@@ -1,0 +1,132 @@
+"""ANN correctness: LSH-bucketed top-k recall vs brute-force oracle;
+document dedup on synthetic near-duplicates."""
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(EMB)
+
+
+def test_lsh_ann_recall(spark, emb):
+    from etl_reconciliate_spark.operators.similarity import (
+        cosine_topk,
+        lsh_cosine_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=10)
+    # NOTE: the sandbox embeddings are near-uniform (top-5 same-label
+    # fraction ≈ 0.12 ≈ chance), the hardest case for hyperplane LSH —
+    # 4 planes + 2-bit multiprobe scans ~11/16 buckets for recall ≈ 0.8.
+    approx = lsh_cosine_topk(
+        emb, queries, dim=64, k=10, n_planes=4, multiprobe_bits=2
+    )
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"LSH recall@10 too low: {recall:.2f}"
+    # approximate results are a subset of legal pairs and correctly ranked
+    ranks = {}
+    for r in approx.collect():
+        ranks.setdefault(r["query_id"], []).append((r["rank"], r["cosine"]))
+    for qid, rs in ranks.items():
+        rs.sort()
+        cos = [c for _, c in rs]
+        assert cos == sorted(cos, reverse=True)
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "the quick brown fox jumps over the lazy dog again and again!"),  # near-dup of 1
+    (3, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 1
+    (4, "completely different content about spark window aggregation functions"),
+    (5, "yet another unrelated document mentioning parquet column pruning"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t, "en", "synthetic", len(t)) for i, t in DOCS],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_exact_dedup(spark, docs):
+    from etl_reconciliate_spark.operators.dedupe_docs import (
+        dedup_exact,
+        exact_duplicate_groups,
+    )
+
+    groups = exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2 and groups[0]["keep_doc_id"] == 1
+    kept = {r["doc_id"] for r in dedup_exact(docs).collect()}
+    assert kept == {1, 2, 4, 5}
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    from etl_reconciliate_spark.operators.dedupe_docs import minhash_near_dup_pairs
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_near_dup_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1.0  # exact dup
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5  # near dup
+    assert not any({a, b} & {4, 5} and {a, b} & {1, 2, 3} for a, b in pairs)
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    from etl_reconciliate_spark.operators.dedupe_docs import ngram_jaccard_pairs
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 3)] == 1.0
+    assert 0.8 <= pairs[(1, 2)] < 1.0
+
+
+def test_simhash_hamming(spark):
+    from etl_reconciliate_spark.operators.dedupe_docs import simhash_near_dup_pairs
+
+    # SimHash needs enough tokens for stable bit margins — use ~100-token
+    # docs where the near-dup differs in one token.
+    base = " ".join(f"tok{i % 37}" for i in range(100))
+    near = base.replace("tok5", "tokX", 1)
+    other = " ".join(f"zzz{i % 41}" for i in range(100))
+    docs = [(1, base), (2, near), (3, base), (4, other)]
+    df = _docs_df(docs)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(df, max_hamming=6).collect()
+    }
+    assert pairs.get((1, 3)) == 0  # identical text → identical simhash
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6  # near dup → small hamming
+    assert not any({a, b} == {1, 4} or {a, b} == {2, 4} for a, b in pairs)
+
+
+def _docs_df(rows):
+    import pyspark.sql
+
+    spark = pyspark.sql.SparkSession.getActiveSession()
+    return spark.createDataFrame(
+        [(i, t, "en", "synthetic", len(t)) for i, t in rows],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_embedding_near_dups_self_consistency(spark, emb):
+    from etl_reconciliate_spark.operators.dedupe_docs import embedding_near_dup_pairs
+
+    # a vector duplicated must be found at cosine 1
+    two = emb.limit(1)
+    dup = two.withColumn("vec_id", F.col("vec_id") + 100000)
+    pairs = embedding_near_dup_pairs(two.union(dup), threshold=0.999).collect()
+    assert len(pairs) == 1 and abs(pairs[0]["cosine"] - 1.0) < 1e-9
