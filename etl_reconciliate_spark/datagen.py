@@ -132,6 +132,155 @@ def tool_epoch_lsn(n_events: int, tool_epoch_frac: float = 0.35) -> int:
     return int(n_events * tool_epoch_frac)
 
 
+# ---------------------------------------------------------------------
+# Distributed generation — the 10^10-event path. The driver-pandas
+# generator above tops out around 10^6 events/min; at bench and cluster
+# scale the log is generated BY Spark: one task per contiguous LSN
+# block, each block produced vectorized (numpy inside mapInPandas) from
+# a block-derived seed, so output is deterministic in (seed, n_events,
+# params) and independent of partitioning/executor count.
+# ---------------------------------------------------------------------
+def gen_changelog_spark(
+    spark,
+    n_events: int,
+    n_convs: int | None = None,
+    seed: int = 42,
+    p_update: float = 0.20,
+    p_delete: float = 0.05,
+    dup_frac: float = 0.02,
+    tool_epoch_frac: float = 0.35,
+    zipf_a: float = 1.3,
+    text_len: int = 256,
+    max_turns: int = 64,
+    block: int = 250_000,
+):
+    """Generate the change log as a Spark DataFrame (CHANGELOG_SCHEMA).
+
+    Differences from the driver-pandas generator (documented, by
+    design): conversation ranks come from inverse-CDF Zipf sampling (no
+    global weight table — works at 10^8+ conversations) and ``turn_idx``
+    is drawn uniform per conversation rather than via global cumcount
+    (a per-block task cannot see other blocks' counters). All CDC
+    invariants are preserved: Zipf-hot keys, upserting updates, deletes,
+    duplicate deliveries, in-block out-of-order arrival, and the
+    pre-``tool`` epoch. Text is pseudo-random (low-compressibility) so
+    parquet/shuffle codecs do real work, sized by ``text_len``.
+    """
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from etl_reconciliate_spark.schemas import CHANGELOG_SCHEMA
+
+    n_convs = n_convs or max(16, n_events // 64)
+    epoch = tool_epoch_lsn(n_events, tool_epoch_frac)
+    n_blocks = max(1, (n_events + block - 1) // block)
+
+    def gen_block(iterator):
+        for pdf in iterator:
+            for b in pdf["id"].to_numpy():
+                lo = int(b) * block
+                hi = min(lo + block, n_events)
+                n = hi - lo
+                if n <= 0:
+                    continue
+                rng = np.random.default_rng([seed, int(b)])
+                lsn = np.arange(lo, hi, dtype=np.int64)
+                # Inverse-CDF Zipf(a): rank = floor(u^(-1/(a-1))), capped.
+                u = np.maximum(rng.random(n), 1e-12)
+                # Clip in float space first: u^-1/(a-1) can exceed int64.
+                rank = np.minimum(
+                    u ** (-1.0 / (zipf_a - 1.0)), float(n_convs)
+                ).astype(np.int64)
+                rank = np.maximum(rank, 1) - 1
+                conv_num = rank
+                r = rng.random(n)
+                op = np.where(
+                    r < p_update, "U",
+                    np.where(r < p_update + p_delete, "D", "I"),
+                )
+                turn_idx = rng.integers(0, max_turns, n).astype(np.int32)
+                conv_id = np.char.add(
+                    "conv", np.char.zfill(conv_num.astype("U10"), 8)
+                )
+                role = ROLES[(lsn + conv_num) % len(ROLES)]
+                # Low-compressibility payload: block-seeded random word
+                # codes, deterministic given (seed, block).
+                # Vectorized string build: (n, k) U8 words are contiguous
+                # UTF-32, so a view as U(8k) concatenates row-wise with no
+                # per-row Python.
+                n_words = max(1, text_len // 8)
+                codes = rng.integers(
+                    10**7, 10**8, size=(n, n_words), dtype=np.int64
+                )
+                text_body = np.ascontiguousarray(codes.astype("U8")).view(
+                    f"U{8 * n_words}"
+                ).ravel()
+                text = pd.Series(
+                    np.where(
+                        op == "D",
+                        None,
+                        "t-" + pd.Series(conv_id).str.slice(4) + "-"
+                        + pd.Series(turn_idx).astype(str) + "-v"
+                        + pd.Series(lsn).astype(str) + "-" + text_body,
+                    )
+                )
+                tool_pick = TOOL_NAMES[rng.integers(0, len(TOOL_NAMES), n)]
+                tool = pd.Series(
+                    np.where(
+                        (lsn < epoch) | (op == "D") | (tool_pick == ""),
+                        None,
+                        tool_pick,
+                    )
+                )
+                out = pd.DataFrame(
+                    {
+                        "lsn": lsn,
+                        "op": op,
+                        "conv_id": conv_id,
+                        "turn_idx": turn_idx,
+                        "role": np.where(op == "D", None, role),
+                        "text": text,
+                        "tool": tool,
+                        "ts": pd.Series(
+                            BASE_TS + lsn.astype("timedelta64[s]")
+                        ).astype("datetime64[us]"),
+                    }
+                )
+                # Duplicate deliveries + in-block out-of-order arrival.
+                if dup_frac > 0:
+                    n_dup = max(1, int(n * dup_frac))
+                    dup_idx = rng.choice(n, size=n_dup, replace=False)
+                    out = pd.concat([out, out.iloc[dup_idx]], ignore_index=True)
+                out = out.iloc[rng.permutation(len(out))].reset_index(drop=True)
+                yield out
+
+    ids = spark.range(0, n_blocks, 1, numPartitions=n_blocks)
+    return ids.mapInPandas(gen_block, schema=CHANGELOG_SCHEMA)
+
+
+def write_changelog_spark(
+    spark,
+    path: str,
+    n_events: int,
+    seed: int = 42,
+    tool_epoch_frac: float = 0.35,
+    **gen_kwargs,
+) -> int:
+    """Distributed generate + persist, split at the schema-evolution
+    epoch like :func:`write_changelog` (early rows lack the ``tool``
+    column entirely). Each mapInPandas block is one contiguous LSN range
+    and one output file, so the slice reader's lsn predicate prunes
+    whole files via parquet min/max stats. Returns the epoch LSN."""
+    epoch = tool_epoch_lsn(n_events, tool_epoch_frac)
+    df = gen_changelog_spark(
+        spark, n_events, seed=seed, tool_epoch_frac=tool_epoch_frac, **gen_kwargs
+    )
+    df.filter(df.lsn < epoch).drop("tool").write.mode("overwrite").parquet(
+        f"{path}/epoch=0"
+    )
+    df.filter(df.lsn >= epoch).write.mode("overwrite").parquet(f"{path}/epoch=1")
+    return epoch
+
+
 def write_changelog(
     spark,
     df: pd.DataFrame,

@@ -39,6 +39,32 @@ def partition_lineage(slice_df: DataFrame) -> list[dict]:
 
 
 def op_counts(deduped: DataFrame) -> dict:
-    """I/U/D counts of the winning (post-dedup) events in a slice."""
+    """I/U/D counts of the winning (post-dedup) events in a slice.
+
+    Prefer :func:`observe_ops` — it collects the same counts for free on
+    the merge write; this standalone version costs a full extra
+    computation of the dedup (AQE compiles a separate physical plan per
+    action, so the dedup shuffle is NOT reused across actions)."""
     rows = deduped.groupBy("op").agg(F.count(F.lit(1)).alias("n")).collect()
     return {r["op"]: r["n"] for r in rows}
+
+
+def observe_ops(deduped: DataFrame):
+    """Attach I/U/D counters to ``deduped`` via the ``Observation`` API.
+
+    Returns ``(df, observation)``; after any ACTION consumes ``df`` (the
+    merge's snapshot write), ``observation.get`` yields the counts with
+    zero extra passes — the Spark-native replacement for the reference's
+    per-step READ_COUNT/WRITE_COUNT counters
+    (reference: src/main/resources/springbatch-schema.sql:34-56)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    df = deduped.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("op") == "I", 1).otherwise(0)).alias("I"),
+        F.sum(F.when(F.col("op") == "U", 1).otherwise(0)).alias("U"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("D"),
+    )
+    return df, obs

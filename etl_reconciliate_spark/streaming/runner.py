@@ -36,7 +36,7 @@ from pyspark.sql import SparkSession
 
 from etl_reconciliate_spark.operators.dedup import dedup_max_lsn
 from etl_reconciliate_spark.plans.checkpoint import CheckpointManager
-from etl_reconciliate_spark.plans.metrics import op_counts, partition_lineage
+from etl_reconciliate_spark.plans.metrics import observe_ops, partition_lineage
 from etl_reconciliate_spark.schemas import KEY_COLS
 from etl_reconciliate_spark.sources.changelog import ChangeLogSource
 from etl_reconciliate_spark.target.table import TargetTable
@@ -51,6 +51,8 @@ def replay(
     max_slices: int | None = None,
     collect_lineage: bool = True,
     expire_keep: int = 2,
+    target_mode: str = "cow",
+    compact_threshold: int = 8,
 ) -> dict:
     """Replay the change log into the target table; resumable.
 
@@ -63,7 +65,13 @@ def replay(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
     source = ChangeLogSource(spark, changelog_path)
-    table = TargetTable(spark, target_path, n_buckets=n_partitions)
+    table = TargetTable(
+        spark,
+        target_path,
+        n_buckets=n_partitions,
+        mode=target_mode,
+        compact_threshold=compact_threshold,
+    )
 
     if not table.exists():
         # Initial schema = key + payload columns of the earliest epoch;
@@ -94,8 +102,16 @@ def replay(
             sum(r["rows"] for r in lineage) if collect_lineage else raw.count()
         )
         deduped = dedup_max_lsn(raw.repartition(n_partitions, *KEY_COLS))
-        ops = op_counts(deduped) if collect_lineage else {}
+        # I/U/D counters ride along with the merge's own write action
+        # (Observation API) — no extra pass over the slice.
+        obs = None
+        if collect_lineage:
+            deduped, obs = observe_ops(deduped)
         stats = table.merge_apply(deduped, ckpt.offsets_for(hi, lineage))
+        ops = {}
+        if obs is not None:
+            got = obs.get
+            ops = {k: got[k] for k in ("I", "U", "D")}
         events += n_events
         ckpt.append_manifest(
             {
@@ -104,6 +120,7 @@ def replay(
                 "ops": ops,
                 "snapshot": stats["version"],
                 "target_rows": stats["row_count"],
+                "n_deltas": stats.get("n_deltas"),
                 "secs": round(time.monotonic() - st, 3),
             }
         )
@@ -117,5 +134,6 @@ def replay(
         "secs": secs,
         "events_per_sec": events / secs if secs > 0 else float("inf"),
         "final_lsn": ckpt.last_committed_lsn(),
-        "target_rows": table.metadata()["row_count"] if table.exists() else 0,
+        "target_rows": table.count_live() if table.exists() else 0,
+        "mode": table.mode() if table.exists() else target_mode,
     }

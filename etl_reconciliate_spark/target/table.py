@@ -36,7 +36,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
 from etl_reconciliate_spark.schemas import KEY_COLS, META_LSN
 
@@ -45,12 +45,45 @@ META_COLS = [META_LSN, META_DELETED]
 
 
 class TargetTable:
-    """A versioned, MERGE-able table rooted at ``path``."""
+    """A versioned, MERGE-able table rooted at ``path``.
 
-    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 32):
+    Two write modes, chosen at ``init`` and recorded in the table
+    metadata (mirroring Iceberg's ``write.merge.mode``):
+
+    * ``cow`` (copy-on-write): every MERGE rewrites the full table into
+      a new snapshot — cheapest reads, O(table) write amplification per
+      slice. Right for small targets / infrequent batches.
+    * ``mor`` (merge-on-read): every MERGE appends only the deduplicated
+      change batch as a hash-clustered **delta** file set; readers
+      resolve the per-key max-``_lsn`` winner across base+deltas at scan
+      time. Write cost is O(slice) regardless of table size — the only
+      viable shape at 10^10 events — with automatic compaction folding
+      deltas back into the base every ``compact_threshold`` commits.
+
+    Tombstones (``_deleted``) are kept in deltas so the read-time winner
+    selection sees the delete's LSN high-water mark, and are dropped at
+    compaction: slices commit in LSN order, so any post-compaction event
+    for a dropped key necessarily carries a higher LSN and legitimately
+    re-inserts it (an interrupted slice replays only LSNs above the last
+    committed offset — see ``plans/checkpoint.py``).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n_buckets: int = 32,
+        mode: str = "cow",
+        compact_threshold: int = 8,
+    ):
         self.spark = spark
         self.path = path
         self.n_buckets = n_buckets
+        self._init_mode = mode
+        self.compact_threshold = compact_threshold
+
+    def mode(self) -> str:
+        return self.metadata().get("mode", "cow")
 
     # ------------------------------------------------------------ state
     @property
@@ -96,21 +129,41 @@ class TargetTable:
         self.spark.createDataFrame([], schema=full).write.mode("overwrite").parquet(
             os.path.join(self.path, data_dir)
         )
-        self._commit(0, schema, data_dir, offsets or {}, row_count=0, parent=None)
+        self._commit(
+            0, schema, data_dir, offsets or {}, row_count=0, parent=None,
+            mode=self._init_mode, deltas=[],
+        )
 
     # ------------------------------------------------------------- read
-    def read(self, include_meta: bool = False, version: int | None = None) -> DataFrame:
-        """Current (or pinned-version) table contents.
-
-        Live rows only unless ``include_meta``; columns padded to the
-        CURRENT schema (old snapshots lack late-added columns — they
-        read as nulls, Iceberg-style)."""
-        meta = self.metadata(version)
-        df = self.spark.read.parquet(os.path.join(self.path, meta["data_dir"]))
-        want = T.StructType.fromJson(self.metadata()["schema"])  # latest schema
+    def _read_padded(self, data_dir: str, want: T.StructType) -> DataFrame:
+        """One data dir, padded to schema ``want`` (late-added columns
+        read as nulls, Iceberg-style) with meta columns last."""
+        df = self.spark.read.parquet(os.path.join(self.path, data_dir))
         for f_ in want.fields:
             if f_.name not in df.columns:
                 df = df.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+        return df.select([f_.name for f_ in want.fields] + META_COLS)
+
+    def read(self, include_meta: bool = False, version: int | None = None) -> DataFrame:
+        """Current (or pinned-version) table contents.
+
+        Live rows only unless ``include_meta``. In ``mor`` mode the
+        per-key max-``_lsn`` winner is resolved across base + deltas at
+        scan time (one window over a key-hash shuffle — the read-side
+        cost MoR trades for O(slice) writes)."""
+        meta = self.metadata(version)
+        want = T.StructType.fromJson(self.metadata()["schema"])  # latest schema
+        df = self._read_padded(meta["data_dir"], want)
+        deltas = meta.get("deltas", [])
+        if deltas:
+            for d in deltas:
+                df = df.unionByName(self._read_padded(d, want))
+            w = Window.partitionBy(*KEY_COLS).orderBy(F.col(META_LSN).desc())
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
         if include_meta:
             return df.select([f_.name for f_ in want.fields] + META_COLS)
         return df.filter(~F.coalesce(F.col(META_DELETED), F.lit(False))).select(
@@ -152,6 +205,9 @@ class TargetTable:
             list(cur_schema.fields)
             + [T.StructField(f_.name, f_.dataType, True) for f_ in new_fields]
         )
+
+        if self.mode() == "mor":
+            return self._merge_mor(batch, evolved, offsets)
 
         tgt = self.read(include_meta=True)  # padded to latest committed schema
         for f_ in new_fields:
@@ -200,8 +256,82 @@ class TargetTable:
         self._commit(
             version, evolved, data_dir, offsets,
             row_count=row_count, parent=version - 1,
+            mode="cow", deltas=[],
         )
         return {"version": version, "row_count": row_count, "data_dir": data_dir}
+
+    def _merge_mor(self, batch: DataFrame, evolved: T.StructType, offsets: dict) -> dict:
+        """Merge-on-read apply: append the deduped batch as a delta file
+        set (hash-clustered on the key, like the base); O(slice) write
+        cost regardless of table size. Winner resolution happens at read
+        time; compaction folds deltas into the base every
+        ``compact_threshold`` commits."""
+        meta = self.metadata()
+        src = batch
+        for f_ in evolved.fields:  # batch may lack late columns (old slice)
+            if f_.name not in src.columns:
+                src = src.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+        delta_rows = (
+            src.select(
+                *[F.col(f_.name) for f_ in evolved.fields],
+                F.col("lsn").alias(META_LSN),
+                (F.col("op") == F.lit("D")).alias(META_DELETED),
+            )
+        )
+        version = self.current_version() + 1
+        delta_dir = f"delta-{version:06d}-{uuid.uuid4().hex[:8]}"
+        out_path = os.path.join(self.path, delta_dir)
+        delta_rows.repartition(self.n_buckets, *KEY_COLS).write.mode(
+            "overwrite"
+        ).parquet(out_path)
+        deltas = meta.get("deltas", []) + [delta_dir]
+        self._commit(
+            version, evolved, meta["data_dir"], offsets,
+            row_count=None, parent=version - 1,
+            mode="mor", deltas=deltas,
+        )
+        stats = {"version": version, "row_count": None, "data_dir": meta["data_dir"],
+                 "n_deltas": len(deltas)}
+        if len(deltas) >= self.compact_threshold:
+            stats = self.compact()
+        return stats
+
+    def compact(self) -> dict:
+        """Fold all deltas into a new base snapshot (MoR maintenance).
+
+        Materializes the per-key winners and drops tombstones — safe
+        because slices commit in LSN order, so nothing older than the
+        tombstone can ever be replayed (see class docstring)."""
+        meta = self.metadata()
+        if not meta.get("deltas"):
+            return {"version": meta["version"], "row_count": meta.get("row_count"),
+                    "data_dir": meta["data_dir"], "n_deltas": 0}
+        schema = T.StructType.fromJson(meta["schema"])
+        live = self.read(include_meta=True).filter(
+            ~F.coalesce(F.col(META_DELETED), F.lit(False))
+        )
+        version = self.current_version() + 1
+        data_dir = f"snap-{version:06d}-{uuid.uuid4().hex[:8]}"
+        out_path = os.path.join(self.path, data_dir)
+        live.repartition(self.n_buckets, *KEY_COLS).write.mode("overwrite").parquet(
+            out_path
+        )
+        row_count = self.spark.read.parquet(out_path).count()
+        self._commit(
+            version, schema, data_dir, meta.get("offsets", {}),
+            row_count=row_count, parent=version - 1,
+            mode="mor", deltas=[],
+        )
+        return {"version": version, "row_count": row_count, "data_dir": data_dir,
+                "n_deltas": 0}
+
+    def count_live(self) -> int:
+        """Exact live-row count (cheap in cow — committed metadata;
+        a winner-resolution scan in mor between compactions)."""
+        rc = self.metadata().get("row_count")
+        if rc is None:
+            return self.read().count()
+        return rc
 
     # ----------------------------------------------------------- commit
     def _commit(
@@ -210,8 +340,10 @@ class TargetTable:
         schema: T.StructType,
         data_dir: str,
         offsets: dict,
-        row_count: int,
+        row_count: int | None,
         parent: int | None,
+        mode: str = "cow",
+        deltas: list[str] | None = None,
     ) -> None:
         meta = {
             "version": version,
@@ -220,6 +352,8 @@ class TargetTable:
             "offsets": offsets,
             "row_count": row_count,
             "parent": parent,
+            "mode": mode,
+            "deltas": deltas or [],
         }
         mp = self._meta_path(version)
         tmp = mp + ".tmp"
@@ -240,12 +374,24 @@ class TargetTable:
         return sorted(out)
 
     def expire_snapshots(self, keep_last: int = 2) -> None:
-        """Drop data dirs + metadata of all but the newest snapshots."""
+        """Drop metadata of all but the newest snapshots, then delete any
+        data/delta dirs no kept snapshot references (MoR versions share
+        the base and earlier deltas, so removal is by reference count,
+        exactly like Iceberg's expire-snapshots + orphan-file cleanup)."""
         vs = self.versions()
         cur = self.current_version()
-        for v in vs[:-keep_last]:
-            if v == cur:
-                continue
-            meta = self.metadata(v)
-            shutil.rmtree(os.path.join(self.path, meta["data_dir"]), ignore_errors=True)
+        drop = [v for v in vs[:-keep_last] if v != cur]
+        keep = [v for v in vs if v not in drop]
+        referenced = set()
+        for v in keep:
+            m = self.metadata(v)
+            referenced.add(m["data_dir"])
+            referenced.update(m.get("deltas", []))
+        for v in drop:
             os.remove(self._meta_path(v))
+        for name in os.listdir(self.path):
+            if (
+                (name.startswith("snap-") or name.startswith("delta-"))
+                and name not in referenced
+            ):
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)

@@ -28,8 +28,15 @@ def main() -> int:
     ap.add_argument("--gen-events", type=int, default=0,
                     help="generate a seeded change log at --changelog first")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--text-len", type=int, default=256,
+                    help="approx text payload bytes for generated events")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--no-lineage", action="store_true")
+    ap.add_argument("--target-mode", choices=["cow", "mor"], default="cow",
+                    help="copy-on-write (rewrite per slice) or "
+                         "merge-on-read (delta append + compaction)")
+    ap.add_argument("--compact-every", type=int, default=8,
+                    help="mor: fold deltas into the base every N commits")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -37,17 +44,13 @@ def main() -> int:
     spark = SparkSession.builder.appName("cdc_replay").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    from etl_reconciliate_spark.datagen import (
-        gen_changelog,
-        tool_epoch_lsn,
-        write_changelog,
-    )
+    from etl_reconciliate_spark.datagen import write_changelog_spark
     from etl_reconciliate_spark.streaming.runner import replay
 
     if args.gen_events:
-        df = gen_changelog(args.gen_events, seed=args.seed)
-        write_changelog(
-            spark, df, args.changelog, epoch_lsn=tool_epoch_lsn(args.gen_events)
+        write_changelog_spark(
+            spark, args.changelog, args.gen_events,
+            seed=args.seed, text_len=args.text_len,
         )
 
     stats = replay(
@@ -57,6 +60,8 @@ def main() -> int:
         slice_size=args.slice_size,
         n_partitions=args.partitions,
         collect_lineage=not args.no_lineage,
+        target_mode=args.target_mode,
+        compact_threshold=args.compact_every,
     )
     print(json.dumps(stats))
     return 0
