@@ -1,0 +1,202 @@
+#!/usr/bin/env python3
+"""Headline benchmark. Prints ONE JSON line.
+
+Two parts:
+
+1. **CDC replay throughput** (the BASELINE.json metric: change-events/sec
+   applied). Runs the real runtime surface — ``spark-submit --py-files``
+   of ``jobs/replay_job.py`` — against a deterministic Spark-generated
+   change log, on a local-cluster of ``SPARK_GRAFT_CPUS/8`` executor JVMs
+   (multi-executor shuffle paths, not the single-JVM local[n] shortcut).
+   Two runs, best-of (the sandbox host is shared and noisy).
+2. **Oracle-query latencies**: every entry in ``__spark_entry__.queries()``
+   timed at ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_EVENTS (default
+8M), BENCH_TEXT_LEN, BENCH_SLICES, BENCH_RUNS, BENCH_SCALING=1 adds the
+N-vs-4N-executor scaling pair (see BENCH/BASELINE.md for the recorded
+study), BENCH_QUERIES=0 skips part 2.
+
+Output fields: ``value``/``unit`` = total wall seconds of the headline
+suite (driver contract); ``events_per_sec`` = the CDC throughput
+headline; ``queries`` = per-query seconds; ``scaling`` when enabled.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+EVENTS = int(os.environ.get("BENCH_EVENTS", "8000000"))
+TEXT_LEN = int(os.environ.get("BENCH_TEXT_LEN", "256"))
+SLICES = int(os.environ.get("BENCH_SLICES", "4"))
+RUNS = int(os.environ.get("BENCH_RUNS", "2"))
+SEED = 7
+WORK = os.environ.get("BENCH_WORK_DIR", "/tmp/spark_graft_bench")
+SHM = "/dev/shm/spark_graft_bench_tmp"
+
+
+def _spark_submit(master: str, args: list[str], conf: dict | None = None) -> dict:
+    """Run the replay job via spark-submit; return its JSON stats line."""
+    zip_path = os.path.join(WORK, "engine.zip")
+    cmd = [
+        "spark-submit", "--master", master,
+        "--conf", f"spark.sql.shuffle.partitions={max(32, CPUS * 2)}",
+        "--conf", "spark.driver.memory=6g",
+        # local-cluster[n,c,mem] only caps the worker; executors still
+        # take spark.executor.memory, which must be set explicitly.
+        "--conf", "spark.executor.memory=10g",
+        # zstd everywhere (shuffle + parquet) — Iceberg's default codec;
+        # at 100 TB the storage/network saving is the economic choice.
+        "--conf", "spark.io.compression.codec=zstd",
+        "--conf", f"spark.local.dir={SHM}",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", zip_path,
+        os.path.join(REPO, "jobs", "replay_job.py"),
+    ] + args
+    for k, v in (conf or {}).items():
+        cmd[6:6] = ["--conf", f"{k}={v}"]
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not line:
+        raise RuntimeError(f"replay job failed:\n{out.stderr[-3000:]}")
+    return json.loads(line[-1])
+
+
+def _ensure_log() -> str:
+    """Generate (once, cached) the deterministic bench change log."""
+    log = os.path.join(WORK, f"log_v2_{EVENTS}_{TEXT_LEN}_{SEED}")
+    marker = log + ".done"
+    if os.path.exists(marker):
+        return log
+    shutil.rmtree(log, ignore_errors=True)
+    gen = f"""
+import sys; sys.path.insert(0, {REPO!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[{CPUS}]")
+         .config("spark.driver.memory", "12g")
+         .config("spark.local.dir", {SHM!r})
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from etl_reconciliate_spark.datagen import write_changelog_spark
+write_changelog_spark(spark, {log!r}, {EVENTS}, seed={SEED}, text_len={TEXT_LEN})
+"""
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(gen)
+    r = subprocess.run([sys.executable, f.name], capture_output=True, text=True)
+    os.unlink(f.name)
+    if r.returncode != 0:
+        raise RuntimeError(f"log generation failed:\n{r.stderr[-3000:]}")
+    open(marker, "w").write("ok")
+    return log
+
+
+def _replay_best(master: str, log: str, runs: int = RUNS) -> dict:
+    best = None
+    for i in range(runs):
+        tgt = os.path.join(WORK, f"tbl_{abs(hash(master)) % 10**8}_{i}")
+        shutil.rmtree(tgt, ignore_errors=True)
+        stats = _spark_submit(
+            master,
+            ["--changelog", log, "--target", tgt,
+             "--slice-size", str((EVENTS + SLICES - 1) // SLICES),
+             "--target-mode", "mor"],
+        )
+        shutil.rmtree(tgt, ignore_errors=True)
+        if best is None or stats["events_per_sec"] > best["events_per_sec"]:
+            best = stats
+    return best
+
+
+def _n_executors(cpus: int) -> int:
+    return max(1, cpus // 8)
+
+
+def main() -> None:
+    os.makedirs(WORK, exist_ok=True)
+    os.makedirs(SHM, exist_ok=True)
+    t_suite = time.monotonic()
+    subprocess.run(
+        ["zip", "-qr", os.path.join(WORK, "engine.zip"), "etl_reconciliate_spark"],
+        cwd=REPO, check=True,
+    )
+    log = _ensure_log()
+
+    n_exec = _n_executors(CPUS)
+    master = f"local-cluster[{n_exec},8,6144]" if n_exec > 1 else "local[8]"
+    replay = _replay_best(master, log)
+
+    out = {
+        "sf": float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1),
+        "events": replay["events"],
+        "events_per_sec": round(replay["events_per_sec"], 1),
+        "replay_sec": round(replay["secs"], 2),
+        "slices": replay["slices"],
+        "target_rows": replay["target_rows"],
+        "mode": replay["mode"],
+        "master": master,
+        "executors": n_exec,
+    }
+
+    if os.environ.get("BENCH_SCALING", "0") == "1":
+        # N vs 4N executors at 2 cores each: isolates executor-count
+        # scaling from this host's shared memory bus, which a single
+        # 8-core executor already saturates (see BENCH/BASELINE.md).
+        big = _replay_best("local-cluster[4,2,16384]", log)
+        small = _replay_best("local-cluster[1,2,16384]", log)
+        eps_n, eps_4n = small["events_per_sec"], big["events_per_sec"]
+        out["scaling"] = {
+            "executors_n": 1,
+            "executors_4n": 4,
+            "cores_per_executor": 2,
+            "events_per_sec_n": round(eps_n, 1),
+            "events_per_sec_4n": round(eps_4n, 1),
+            "efficiency": round((eps_4n / eps_n) / 4, 3),
+        }
+
+    queries: dict[str, float] = {}
+    if os.environ.get("BENCH_QUERIES", "1") == "1":
+        sys.path.insert(0, REPO)
+        from pyspark.sql import SparkSession
+
+        import __spark_entry__ as entry
+
+        spark = (
+            SparkSession.builder.master(f"local[{CPUS}]")
+            .config("spark.sql.shuffle.partitions", str(max(32, CPUS)))
+            .config("spark.driver.memory", "12g")
+            .config("spark.local.dir", SHM)
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.session.timeZone", "UTC")
+            .appName("bench_queries")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        for name, fn in entry.queries().items():
+            t0 = time.monotonic()
+            fn(spark, SF_DIR).count()
+            queries[name] = round(time.monotonic() - t0, 3)
+        spark.stop()
+
+    out.update(
+        {
+            "metric": "headline suite wall sec (CDC replay best-of + oracle queries); "
+                      "events_per_sec is the BASELINE.json throughput headline",
+            "value": round(time.monotonic() - t_suite, 2),
+            "unit": "sec",
+            "queries": queries,
+        }
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

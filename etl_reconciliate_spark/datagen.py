@@ -274,10 +274,13 @@ def write_changelog_spark(
     df = gen_changelog_spark(
         spark, n_events, seed=seed, tool_epoch_frac=tool_epoch_frac, **gen_kwargs
     )
-    df.filter(df.lsn < epoch).drop("tool").write.mode("overwrite").parquet(
-        f"{path}/epoch=0"
-    )
-    df.filter(df.lsn >= epoch).write.mode("overwrite").parquet(f"{path}/epoch=1")
+    # zstd, like the target table (Iceberg's default parquet codec).
+    df.filter(df.lsn < epoch).drop("tool").write.option(
+        "compression", "zstd"
+    ).mode("overwrite").parquet(f"{path}/epoch=0")
+    df.filter(df.lsn >= epoch).write.option("compression", "zstd").mode(
+        "overwrite"
+    ).parquet(f"{path}/epoch=1")
     return epoch
 
 

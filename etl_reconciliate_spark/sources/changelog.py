@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 class ChangeLogSource:
     def __init__(self, spark: SparkSession, path: str):
+        from etl_reconciliate_spark.plans.metrics import footer_index
+
         self.spark = spark
         self.path = path
         self._epochs = sorted(
@@ -34,18 +36,20 @@ class ChangeLogSource:
             e: self.spark.read.parquet(os.path.join(self.path, e))
             for e in self._epochs
         }
-        # Per-epoch LSN bounds: one tiny agg per epoch at open time
-        # (parquet footer min/max make this a metadata-ish scan). Used so
-        # a slice only exposes the columns of the epochs it touches —
-        # the reader must not fabricate a null `tool` column for
-        # pre-evolution slices.
+        # Per-file lineage index + per-epoch LSN bounds, all from parquet
+        # footers read driver-side (plans.metrics.footer_index) — zero
+        # Spark jobs at open. Bounds are used so a slice only exposes the
+        # columns of the epochs it touches — the reader must not
+        # fabricate a null `tool` column for pre-evolution slices.
+        self.file_index = footer_index(path)
         self._bounds: dict[str, tuple[int, int]] = {}
-        for e, df in self._dfs.items():
-            row = df.agg(
-                F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
-            ).collect()[0]
-            if row["lo"] is not None:
-                self._bounds[e] = (int(row["lo"]), int(row["hi"]))
+        for f_ in self.file_index:
+            if f_["lsn_lo"] is None:
+                continue
+            e = f_["file"].rsplit("/", 1)[0]
+            e = e if e in self._epochs else ""
+            lo, hi = self._bounds.get(e, (f_["lsn_lo"], f_["lsn_hi"]))
+            self._bounds[e] = (min(lo, f_["lsn_lo"]), max(hi, f_["lsn_hi"]))
 
     def max_lsn(self) -> int:
         return max((hi for _, hi in self._bounds.values()), default=-1)

@@ -36,7 +36,11 @@ from pyspark.sql import SparkSession
 
 from etl_reconciliate_spark.operators.dedup import dedup_max_lsn
 from etl_reconciliate_spark.plans.checkpoint import CheckpointManager
-from etl_reconciliate_spark.plans.metrics import observe_ops, partition_lineage
+from etl_reconciliate_spark.plans.metrics import (
+    observe_count,
+    observe_ops,
+    slice_lineage,
+)
 from etl_reconciliate_spark.schemas import KEY_COLS
 from etl_reconciliate_spark.sources.changelog import ChangeLogSource
 from etl_reconciliate_spark.target.table import TargetTable
@@ -94,20 +98,18 @@ def replay(
     for lo, hi in slices:
         st = time.monotonic()
         raw = source.read_slice(lo, hi)
-        # Lineage on the raw scan (input_file_name dies past a shuffle);
-        # this is the one extra job per slice and it reads only the lsn
-        # column + footers.
-        lineage = partition_lineage(raw) if collect_lineage else []
-        n_events = (
-            sum(r["rows"] for r in lineage) if collect_lineage else raw.count()
-        )
-        deduped = dedup_max_lsn(raw.repartition(n_partitions, *KEY_COLS))
+        # Per-file lineage comes from the footer index (driver-side
+        # metadata, built once at open); the exact event count and the
         # I/U/D counters ride along with the merge's own write action
-        # (Observation API) — no extra pass over the slice.
+        # via Observation. Net: exactly ONE Spark job per slice.
+        lineage = slice_lineage(source.file_index, lo, hi) if collect_lineage else []
+        raw, obs_raw = observe_count(raw)
+        deduped = dedup_max_lsn(raw.repartition(n_partitions, *KEY_COLS))
         obs = None
         if collect_lineage:
             deduped, obs = observe_ops(deduped)
         stats = table.merge_apply(deduped, ckpt.offsets_for(hi, lineage))
+        n_events = int(obs_raw.get["n"] or 0)
         ops = {}
         if obs is not None:
             got = obs.get

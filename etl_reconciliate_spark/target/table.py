@@ -43,6 +43,11 @@ from etl_reconciliate_spark.schemas import KEY_COLS, META_LSN
 META_DELETED = "_deleted"
 META_COLS = [META_LSN, META_DELETED]
 
+# Iceberg's default parquet codec (write.parquet.compression-codec) is
+# zstd; matching it keeps the emulation's storage cost and CPU profile
+# faithful to the real backend.
+PARQUET_CODEC = "zstd"
+
 
 class TargetTable:
     """A versioned, MERGE-able table rooted at ``path``.
@@ -249,10 +254,24 @@ class TargetTable:
         out_path = os.path.join(self.path, data_dir)
         # Hash-cluster files on the key (emulating Iceberg bucket
         # partitioning) so downstream reads are co-located.
-        merged.repartition(self.n_buckets, *KEY_COLS).write.mode("overwrite").parquet(
+        # Live-row count rides the write via Observation (no extra job);
+        # row_count in metadata is LIVE rows (tombstones excluded), the
+        # same semantic as a MoR compaction commit.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        merged = merged.observe(
+            obs,
+            F.sum(
+                F.when(~F.coalesce(F.col(META_DELETED), F.lit(False)), 1).otherwise(0)
+            ).alias("live"),
+        )
+        merged.repartition(self.n_buckets, *KEY_COLS).write.option(
+            "compression", PARQUET_CODEC
+        ).mode("overwrite").parquet(
             out_path
         )
-        row_count = self.spark.read.parquet(out_path).count()
+        row_count = int(obs.get["live"] or 0)
         self._commit(
             version, evolved, data_dir, offsets,
             row_count=row_count, parent=version - 1,
@@ -281,9 +300,9 @@ class TargetTable:
         version = self.current_version() + 1
         delta_dir = f"delta-{version:06d}-{uuid.uuid4().hex[:8]}"
         out_path = os.path.join(self.path, delta_dir)
-        delta_rows.repartition(self.n_buckets, *KEY_COLS).write.mode(
-            "overwrite"
-        ).parquet(out_path)
+        delta_rows.repartition(self.n_buckets, *KEY_COLS).write.option(
+            "compression", PARQUET_CODEC
+        ).mode("overwrite").parquet(out_path)
         deltas = meta.get("deltas", []) + [delta_dir]
         self._commit(
             version, evolved, meta["data_dir"], offsets,
@@ -313,10 +332,16 @@ class TargetTable:
         version = self.current_version() + 1
         data_dir = f"snap-{version:06d}-{uuid.uuid4().hex[:8]}"
         out_path = os.path.join(self.path, data_dir)
-        live.repartition(self.n_buckets, *KEY_COLS).write.mode("overwrite").parquet(
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        live = live.observe(obs, F.count(F.lit(1)).alias("n"))
+        live.repartition(self.n_buckets, *KEY_COLS).write.option(
+            "compression", PARQUET_CODEC
+        ).mode("overwrite").parquet(
             out_path
         )
-        row_count = self.spark.read.parquet(out_path).count()
+        row_count = int(obs.get["n"] or 0)
         self._commit(
             version, schema, data_dir, meta.get("offsets", {}),
             row_count=row_count, parent=version - 1,

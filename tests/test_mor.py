@@ -132,6 +132,23 @@ def test_mor_expire_keeps_shared_deltas(spark, changelog_df, changelog_path, tmp
     assert_matches_oracle(spark, tgt, changelog_df)
 
 
+def test_footer_lineage_index(spark, changelog_df, changelog_path):
+    """Lineage comes from parquet footers (driver-side metadata, no Spark
+    job); the index must account for every row and the true LSN bounds,
+    and per-slice selection must cover every file the slice reads."""
+    from etl_reconciliate_spark.plans.metrics import footer_index, slice_lineage
+
+    idx = footer_index(changelog_path)
+    assert sum(f["rows"] for f in idx) == len(changelog_df)
+    assert min(f["lsn_lo"] for f in idx) == 0
+    assert max(f["lsn_hi"] for f in idx) == N - 1
+    # every file overlapping (lo, hi] is selected — compare against a
+    # brute-force range check
+    sel = slice_lineage(idx, 2000, 7000)
+    brute = [f for f in idx if not (f["lsn_hi"] <= 2000 or f["lsn_lo"] > 7000)]
+    assert sel == brute and len(sel) > 0
+
+
 # ------------------------------------------------------------------
 # Distributed generator
 # ------------------------------------------------------------------
