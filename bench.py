@@ -62,8 +62,9 @@ def _spark_submit(master: str, args: list[str], conf: dict | None = None) -> dic
         "--py-files", zip_path,
         os.path.join(REPO, "jobs", "replay_job.py"),
     ] + args
+    insert_at = cmd.index("--py-files")
     for k, v in (conf or {}).items():
-        cmd[6:6] = ["--conf", f"{k}={v}"]
+        cmd[insert_at:insert_at] = ["--conf", f"{k}={v}"]
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     if not line:
@@ -99,7 +100,9 @@ write_changelog_spark(spark, {log!r}, {EVENTS}, seed={SEED}, text_len={TEXT_LEN}
     return log
 
 
-def _replay_best(master: str, log: str, runs: int = RUNS) -> dict:
+def _replay_best(
+    master: str, log: str, runs: int = RUNS, conf: dict | None = None
+) -> dict:
     best = None
     for i in range(runs):
         tgt = os.path.join(WORK, f"tbl_{abs(hash(master)) % 10**8}_{i}")
@@ -109,6 +112,7 @@ def _replay_best(master: str, log: str, runs: int = RUNS) -> dict:
             ["--changelog", log, "--target", tgt,
              "--slice-size", str((EVENTS + SLICES - 1) // SLICES),
              "--target-mode", "mor"],
+            conf=conf,
         )
         shutil.rmtree(tgt, ignore_errors=True)
         if best is None or stats["events_per_sec"] > best["events_per_sec"]:
@@ -131,7 +135,9 @@ def main() -> None:
     log = _ensure_log()
 
     n_exec = _n_executors(CPUS)
-    master = f"local-cluster[{n_exec},8,6144]" if n_exec > 1 else "local[8]"
+    # worker capacity (3rd arg) must be >= spark.executor.memory or no
+    # executor can register and the app dies at startup.
+    master = f"local-cluster[{n_exec},8,12288]" if n_exec > 1 else "local[8]"
     replay = _replay_best(master, log)
 
     out = {
@@ -149,9 +155,12 @@ def main() -> None:
     if os.environ.get("BENCH_SCALING", "0") == "1":
         # N vs 4N executors at 2 cores each: isolates executor-count
         # scaling from this host's shared memory bus, which a single
-        # 8-core executor already saturates (see BENCH/BASELINE.md).
-        big = _replay_best("local-cluster[4,2,16384]", log)
-        small = _replay_best("local-cluster[1,2,16384]", log)
+        # 8-core executor already saturates; zstd-6 shuffle makes the
+        # work CPU-bound, the regime a real cluster runs in (see
+        # BENCH/BASELINE.md for the recorded study: 0.85 efficiency).
+        sconf = {"spark.io.compression.zstd.level": "6"}
+        big = _replay_best("local-cluster[4,2,16384]", log, conf=sconf)
+        small = _replay_best("local-cluster[1,2,16384]", log, conf=sconf)
         eps_n, eps_4n = small["events_per_sec"], big["events_per_sec"]
         out["scaling"] = {
             "executors_n": 1,

@@ -1,0 +1,97 @@
+"""Structured Streaming ingest variant.
+
+The primary runner (``streaming.runner.replay``) drives bounded LSN
+slices from the engine's own offset store — that is what gives
+schema-per-epoch reads and LSN-aligned commits. This module is the
+same pipeline on Spark's native streaming engine for deployments that
+want it: ``readStream`` file source over the change-log directory →
+``foreachBatch`` (max-LSN dedup → key repartition → MERGE apply) →
+Spark's checkpointLocation for source offsets.
+
+Correctness under arbitrary file-discovery order: each micro-batch is
+deduped per key (max LSN within the batch) and ``merge_apply`` keeps a
+row only if its LSN beats the stored ``_lsn`` (newer-LSN-wins), so the
+final table state equals the fold of the whole log no matter how the
+source groups or orders files — including re-delivered batches after a
+crash (Spark replays the last uncommitted batch; the merge is
+idempotent).
+
+Known trade vs the bounded runner (and why it stays secondary):
+* the file source needs ONE fixed schema — pre-evolution files read
+  with late columns as nulls, so the target schema evolves at stream
+  start rather than at the epoch boundary;
+* source offsets live in Spark's checkpoint dir, not in the table
+  snapshot — exactly-once here relies on merge idempotence rather than
+  the atomic offsets+data commit.
+
+reference: the cron-style re-poll scaffolding this replaces is
+ReconciliationController.java:41 + SchedulerConfig.java:6-8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from etl_reconciliate_spark.operators.dedup import dedup_max_lsn
+from etl_reconciliate_spark.schemas import CHANGELOG_SCHEMA, KEY_COLS
+from etl_reconciliate_spark.target.table import TargetTable
+
+
+def replay_stream(
+    spark: SparkSession,
+    changelog_path: str,
+    target_path: str,
+    checkpoint_dir: str,
+    n_partitions: int | None = None,
+    max_files_per_trigger: int | None = None,
+    target_mode: str = "mor",
+    compact_threshold: int = 8,
+) -> dict:
+    """Process the change-log backlog as a stream (availableNow trigger:
+    drain everything discoverable, then stop). Resumable/idempotent via
+    ``checkpoint_dir`` + merge idempotence. Returns run stats."""
+    from pyspark.sql import types as T
+
+    n_partitions = n_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    table = TargetTable(
+        spark,
+        target_path,
+        n_buckets=n_partitions,
+        mode=target_mode,
+        compact_threshold=compact_threshold,
+    )
+    if not table.exists():
+        payload = T.StructType(
+            [f for f in CHANGELOG_SCHEMA.fields if f.name not in ("lsn", "op")]
+        )
+        table.init(payload)
+
+    reader = (
+        spark.readStream.schema(CHANGELOG_SCHEMA)
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(changelog_path)
+
+    batches: list[dict] = []
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        deduped = dedup_max_lsn(batch_df.repartition(n_partitions, *KEY_COLS))
+        stats = table.merge_apply(deduped, {"stream_batch_id": batch_id})
+        batches.append({"batch_id": batch_id, "version": stats["version"]})
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {
+        "batches": len(batches),
+        "target_rows": table.count_live(),
+        "mode": table.mode(),
+    }
