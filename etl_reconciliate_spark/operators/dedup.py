@@ -31,3 +31,26 @@ def dedup_max_lsn(df: DataFrame, key_cols: list[str] | None = None) -> DataFrame
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def dedup_max_lsn_agg(df: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
+    """Same result as :func:`dedup_max_lsn`, as a hash AGGREGATE instead
+    of a sort-based window: ``max_by(payload, (lsn, op))`` per key.
+
+    Why it wins at scale: HashAggregate does a map-side partial combine,
+    so duplicate deliveries and multi-update keys collapse BEFORE the
+    shuffle (the window must shuffle every raw event, then sort each
+    partition). The agg's own exchange hash-partitions by exactly the
+    merge keys, so no separate ``repartition`` is needed upstream.
+    Tie-break matches the window: lexicographic (lsn, op) descending —
+    equal-LSN duplicates are identical payloads, op breaks I/U/D ties
+    deterministically."""
+    keys = key_cols or KEY_COLS
+    payload = [c for c in df.columns if c not in keys]
+    ordk = F.struct(F.col("lsn"), F.col("op"))
+    agg = df.groupBy(*keys).agg(
+        F.max_by(F.struct(*[F.col(c) for c in payload]), ordk).alias("_win")
+    )
+    return agg.select(
+        *[F.col(k) for k in keys], *[F.col(f"_win.{c}").alias(c) for c in payload]
+    )

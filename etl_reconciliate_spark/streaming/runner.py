@@ -34,7 +34,7 @@ import time
 
 from pyspark.sql import SparkSession
 
-from etl_reconciliate_spark.operators.dedup import dedup_max_lsn
+from etl_reconciliate_spark.operators.dedup import dedup_max_lsn, dedup_max_lsn_agg
 from etl_reconciliate_spark.plans.checkpoint import CheckpointManager
 from etl_reconciliate_spark.plans.metrics import (
     observe_count,
@@ -57,6 +57,7 @@ def replay(
     expire_keep: int = 2,
     target_mode: str = "cow",
     compact_threshold: int = 8,
+    dedup_impl: str = "agg",
 ) -> dict:
     """Replay the change log into the target table; resumable.
 
@@ -104,7 +105,13 @@ def replay(
         # via Observation. Net: exactly ONE Spark job per slice.
         lineage = slice_lineage(source.file_index, lo, hi) if collect_lineage else []
         raw, obs_raw = observe_count(raw)
-        deduped = dedup_max_lsn(raw.repartition(n_partitions, *KEY_COLS))
+        if dedup_impl == "agg":
+            # max_by aggregate: map-side partial combine collapses
+            # duplicates pre-shuffle; its exchange hash-partitions by the
+            # merge keys, so no explicit repartition is needed.
+            deduped = dedup_max_lsn_agg(raw)
+        else:
+            deduped = dedup_max_lsn(raw.repartition(n_partitions, *KEY_COLS))
         obs = None
         if collect_lineage:
             deduped, obs = observe_ops(deduped)

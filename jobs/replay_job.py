@@ -37,6 +37,8 @@ def main() -> int:
                          "merge-on-read (delta append + compaction)")
     ap.add_argument("--compact-every", type=int, default=8,
                     help="mor: fold deltas into the base every N commits")
+    ap.add_argument("--dedup-impl", choices=["window", "agg"], default="agg",
+                    help="max-LSN dedup: sort window or max_by aggregate")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -62,6 +64,7 @@ def main() -> int:
         collect_lineage=not args.no_lineage,
         target_mode=args.target_mode,
         compact_threshold=args.compact_every,
+        dedup_impl=args.dedup_impl,
     )
     print(json.dumps(stats))
     return 0

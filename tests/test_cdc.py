@@ -140,3 +140,26 @@ def test_lineage_manifest(spark, changelog_path, changelog_df, tmp_path):
     assert offs["lsn_hi"] == N - 1
     assert len(offs["partitions"]) > 0
     assert sum(p["rows"] for p in offs["partitions"]) > 0
+
+
+def test_dedup_agg_equals_window(spark, changelog_df):
+    """The hash-aggregate (max_by) dedup must produce exactly the window
+    dedup's rows — same winners, same tie-breaks — since the runner uses
+    it by default for the pre-shuffle partial-combine win."""
+    from etl_reconciliate_spark.operators.dedup import dedup_max_lsn_agg
+
+    df = spark.createDataFrame(changelog_df, schema=CHANGELOG_SCHEMA)
+    a = (
+        dedup_max_lsn(df)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    b = (
+        dedup_max_lsn_agg(df)
+        .select(a.columns.tolist())
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
