@@ -1,0 +1,73 @@
+"""spark-submit entrypoint: target-table maintenance.
+
+MoR tables trade write amplification for read-side winner resolution;
+this job is the scheduled maintenance that keeps that trade healthy
+(the moral equivalent of Iceberg's rewrite_data_files +
+expire_snapshots procedures):
+
+* ``--compact``: fold all pending deltas into a new base snapshot
+  (drops tombstones — safe under in-LSN-order commits, see
+  target/table.py);
+* ``--expire-keep N``: reference-counted snapshot expiry, keeping the
+  newest N versions;
+* always prints one JSON line with before/after version, live rows,
+  pending delta count.
+
+    spark-submit --py-files engine.zip jobs/maintain_job.py \
+        --target /path/tbl --compact --expire-keep 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--target", required=True)
+    ap.add_argument("--compact", action="store_true")
+    ap.add_argument("--expire-keep", type=int, default=0,
+                    help="keep newest N snapshots (0 = no expiry)")
+    ap.add_argument("--buckets", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("cdc_maintain").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from etl_reconciliate_spark.target.table import TargetTable
+
+    table = TargetTable(
+        spark, args.target,
+        n_buckets=args.buckets or int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        ),
+    )
+    if not table.exists():
+        print(json.dumps({"error": f"no table at {args.target}"}))
+        return 1
+
+    before = table.metadata()
+    out = {
+        "version_before": before["version"],
+        "deltas_before": len(before.get("deltas", [])),
+    }
+    if args.compact:
+        stats = table.compact()
+        out["compacted_to_version"] = stats["version"]
+        out["row_count"] = stats["row_count"]
+    if args.expire_keep > 0:
+        table.expire_snapshots(keep_last=args.expire_keep)
+        out["versions_kept"] = table.versions()
+    after = table.metadata()
+    out["version_after"] = after["version"]
+    out["deltas_after"] = len(after.get("deltas", []))
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -197,3 +197,16 @@ def test_spark_datagen_replay_end_to_end(spark, tmp_path):
     want = fold_changelog(pdf)
     assert stats["target_rows"] == len(want)
     assert_matches_oracle(spark, tgt, pdf)
+
+
+def test_iceberg_binding_guards_without_catalog(spark):
+    """The real-Iceberg backend must import cleanly and fail with a
+    clear, actionable error when no Iceberg catalog is configured
+    (this sandbox has no iceberg-spark-runtime jar)."""
+    import pytest as _pytest
+
+    from etl_reconciliate_spark.target.iceberg import IcebergTargetTable
+
+    t = IcebergTargetTable(spark, "lake.db.transcripts")
+    with _pytest.raises(RuntimeError, match="no Iceberg catalog"):
+        t.exists()
