@@ -210,3 +210,28 @@ def test_iceberg_binding_guards_without_catalog(spark):
     t = IcebergTargetTable(spark, "lake.db.transcripts")
     with _pytest.raises(RuntimeError, match="no Iceberg catalog"):
         t.exists()
+
+
+def test_orphan_delta_invisible_and_cleaned(spark, changelog_df, changelog_path, tmp_path):
+    """Crash between data write and pointer swap leaves an orphan
+    data dir. It must be invisible to readers (pointer never moved) and
+    removed by the next expire_snapshots (reference counting sees no
+    metadata referencing it) — the emulation's equivalent of Iceberg's
+    orphan-file cleanup."""
+    import os
+    import shutil as sh
+
+    tgt = str(tmp_path / "t")
+    replay(spark, changelog_path, tgt, slice_size=N, target_mode="mor")
+    table = TargetTable(spark, tgt)
+    before = table.read().count()
+
+    # fabricate the crash artifact: a data dir written but never committed
+    src_dir = os.path.join(tgt, table.metadata()["data_dir"])
+    orphan = os.path.join(tgt, "delta-999999-deadbeef")
+    sh.copytree(src_dir, orphan)
+
+    assert table.read().count() == before  # invisible
+    table.expire_snapshots(keep_last=1)
+    assert not os.path.exists(orphan)  # cleaned
+    assert table.read().count() == before
