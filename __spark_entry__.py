@@ -3,11 +3,15 @@
 ``queries()`` exposes every implemented operator family from SURVEY.md
 §2 (plus the training-data-pipeline operators) over the driver's
 TPC-H-ish tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL. All
-floating aggregates are computed on DECIMAL(38,6) so value hashes are
-exact; all hash-based operators use the portable md5-derived ``hash32``
-(identical in both engines); cosine scores expand the 64-dim dot product
-as an explicit left-to-right expression in both engines so doubles are
-bit-identical.
+floating aggregates are computed on DECIMAL(38,6) so the arithmetic is
+exact, then the FINAL output column is cast to double on BOTH engines —
+the driver hashes the output representation, and Spark's
+``Decimal('x.000000')`` vs DuckDB's float would mismatch even when
+numerically identical (round-1 lesson). The decimal→double conversion
+is exact here because every source value has ≤2 decimal digits. All
+hash-based operators use the portable md5-derived ``hash32`` (identical
+in both engines); cosine/LSH dot products fold left-to-right from 0.0
+in both engines so doubles are bit-identical.
 """
 
 from __future__ import annotations
@@ -27,6 +31,10 @@ def _dec(c):  # exact-sum policy: double → decimal(38,6) before aggregation
     return c.cast("decimal(38,6)")
 
 
+def _dbl(c):  # output policy: decimal → double at the final select only
+    return c.cast("double")
+
+
 # =====================================================================
 # §2.1/§2.4 — S1/A1: filtered join + group-by + SUM (SWIFT extract shape)
 # reference: swift/dao/impl/AsMonitoringMessagesDAOImpl.java:31-64
@@ -42,7 +50,7 @@ def q_s1_extract_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lineitem, orders.o_orderkey == lineitem.l_orderkey, "inner")
         .groupBy("o_orderkey", "o_custkey", "o_orderdate")
         .agg(
-            F.sum(_dec(F.col("l_extendedprice"))).alias("amount"),
+            _dbl(F.sum(_dec(F.col("l_extendedprice")))).alias("amount"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -50,7 +58,7 @@ def q_s1_extract_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_S1 = """
 SELECT o_orderkey, o_custkey, o_orderdate,
-       SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS amount,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS amount,
        COUNT(*) AS n_items
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderstatus = 'O'
@@ -75,15 +83,15 @@ def q_j4_decorrelated_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "o_orderkey",
         "o_orderstatus",
-        _dec(F.col("o_totalprice")).alias("o_totalprice_d"),
-        "totalamount",
+        _dbl(F.col("o_totalprice")).alias("o_totalprice_d"),
+        _dbl(F.col("totalamount")).alias("totalamount"),
     )
 
 
 SQL_J4 = """
 SELECT o_orderkey, o_orderstatus,
-       CAST(o_totalprice AS DECIMAL(38,6)) AS o_totalprice_d,
-       t.totalamount
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice_d,
+       CAST(t.totalamount AS DOUBLE) AS totalamount
 FROM orders
 LEFT JOIN (
   SELECT l_orderkey,
@@ -150,7 +158,12 @@ def q_j6_full_outer_classification(spark: SparkSession, sf_dir: str) -> DataFram
         .when(F.col("src_amt") == F.col("tgt_amt"), F.lit("MATCH"))
         .otherwise(F.lit("VALUE_DISCREPANCY"))
     )
-    return j.select("key", "src_amt", "tgt_amt", status.alias("status"))
+    return j.select(
+        "key",
+        _dbl(F.col("src_amt")).alias("src_amt"),
+        _dbl(F.col("tgt_amt")).alias("tgt_amt"),
+        status.alias("status"),
+    )
 
 
 SQL_J6 = """
@@ -163,7 +176,8 @@ WITH src AS (
   FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-06-01'
   GROUP BY l_orderkey
 )
-SELECT COALESCE(src.key, tgt.key) AS key, src_amt, tgt_amt,
+SELECT COALESCE(src.key, tgt.key) AS key,
+  CAST(src_amt AS DOUBLE) AS src_amt, CAST(tgt_amt AS DOUBLE) AS tgt_amt,
   CASE WHEN tgt_amt IS NULL THEN 'SOURCE_ONLY'
        WHEN src_amt IS NULL THEN 'TARGET_ONLY'
        WHEN src_amt = tgt_amt THEN 'MATCH'
@@ -179,17 +193,17 @@ FROM src FULL OUTER JOIN tgt ON src.key = tgt.key
 def q_p_filters_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     return events.filter(
-        (F.col("ts") >= F.lit("2024-03-01"))
+        (F.col("ts") >= F.lit("2024-01-10"))
         & (~F.col("event_type").isin("error", "view"))
         & (F.col("value") >= 10.0)
         & F.col("props").isNotNull()
-    ).select("event_id", "ts", "user_id", "event_type", _dec(F.col("value")).alias("value_d"))
+    ).select("event_id", "ts", "user_id", "event_type", _dbl(F.col("value")).alias("value_d"))
 
 
 SQL_P = """
-SELECT event_id, ts, user_id, event_type, CAST(value AS DECIMAL(38,6)) AS value_d
+SELECT event_id, ts, user_id, event_type, CAST(value AS DOUBLE) AS value_d
 FROM events
-WHERE ts >= TIMESTAMP '2024-03-01'
+WHERE ts >= TIMESTAMP '2024-01-10'
   AND event_type NOT IN ('error', 'view')
   AND value >= 10.0 AND props IS NOT NULL
 """
@@ -244,14 +258,14 @@ def q_w2_first_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             F.col("l_partkey").alias("top_partkey"),
-            _dec(F.col("l_extendedprice")).alias("top_price"),
+            _dbl(F.col("l_extendedprice")).alias("top_price"),
         )
     )
 
 
 SQL_W2 = """
 SELECT l_orderkey, l_partkey AS top_partkey,
-       CAST(l_extendedprice AS DECIMAL(38,6)) AS top_price
+       CAST(l_extendedprice AS DOUBLE) AS top_price
 FROM (
   SELECT *, ROW_NUMBER() OVER (
     PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
@@ -289,7 +303,11 @@ def q_a6_status_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("OK"))
     )
     return per.select(
-        "o_orderkey", "n_items", "any_returned", "gross", status.alias("status")
+        "o_orderkey",
+        "n_items",
+        "any_returned",
+        _dbl(F.col("gross")).alias("gross"),
+        status.alias("status"),
     )
 
 
@@ -302,7 +320,7 @@ WITH per AS (
   FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
   GROUP BY o_orderkey, o_totalprice
 )
-SELECT o_orderkey, n_items, any_returned, gross,
+SELECT o_orderkey, n_items, any_returned, CAST(gross AS DOUBLE) AS gross,
   CASE WHEN n_items = 0 THEN 'ERROR'
        WHEN n_items > 6 THEN 'LOTE DUPLICADO JPAT'
        WHEN any_returned = 1 THEN 'TRANSACCIONES CON ERROR'
@@ -375,12 +393,12 @@ def q_cdc_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("user_id", "event_type", "event_id", "ts", _dec(F.col("value")).alias("value_d"))
+        .select("user_id", "event_type", "event_id", "ts", _dbl(F.col("value")).alias("value_d"))
     )
 
 
 SQL_CDC_DEDUP = """
-SELECT user_id, event_type, event_id, ts, CAST(value AS DECIMAL(38,6)) AS value_d
+SELECT user_id, event_type, event_id, ts, CAST(value AS DOUBLE) AS value_d
 FROM (
   SELECT *, ROW_NUMBER() OVER (
     PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
@@ -628,7 +646,10 @@ FROM ranked WHERE rank <= 10
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_reconciliate_spark.operators.dedupe_docs import embedding_near_dup_pairs
 
-    out = embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9)
+    # threshold 0.4: the driver's embeddings are near-random (max pair
+    # cosine ≈ 0.48 at sf0.001 / 0.51 at sf0.01) — 0.9 returned 0 rows
+    # and verified nothing (round-1 verdict).
+    out = embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
     return out.select("id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine_r"))
 
 
@@ -650,7 +671,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
   ROUND((0.0 + {dot}) / (sqrt(0.0 + {norm_a}) * sqrt(0.0 + {norm_b})), 6) AS cosine_r
 FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
-  AND (0.0 + {dot}) / (sqrt(0.0 + {norm_a}) * sqrt(0.0 + {norm_b})) >= 0.9
+  AND (0.0 + {dot}) / (sqrt(0.0 + {norm_a}) * sqrt(0.0 + {norm_b})) >= 0.4
 """
 
 
