@@ -39,9 +39,16 @@ def reconcile(
 ) -> DataFrame:
     """Classify every key of source ⟗ target.
 
-    Returns (conv_id, turn_idx, status, src_text, tgt_text) ordered by
-    key. ``compare_cols`` are the payload columns whose per-turn equality
+    Returns (conv_id, turn_idx, status, src_text, tgt_text).
+    ``compare_cols`` are the payload columns whose per-turn equality
     (Arrow UDF) decides MATCH vs VALUE_DISCREPANCY.
+
+    NOT sorted: a global key sort here would force a full range-shuffle
+    + sort of the entire recon output at 100 TB for purely cosmetic
+    ordering (round-1 verdict item 3). Downstream aggregations
+    (``status_counts``, ``rollup_conversations``) don't need order;
+    consumers that want ordered output (the report sink, tests) sort the
+    small final result at the emission boundary.
     """
     s = source.select(KEY_COLS + [F.col(c).alias(f"cmp_{c}") for c in compare_cols])
     t = target.select(KEY_COLS + [F.col(c).alias(f"cmp_{c}") for c in compare_cols])
@@ -65,17 +72,14 @@ def reconcile(
         .otherwise(F.lit(STATUS_VALUE_DISCREPANCY))
     )
 
-    return (
-        j.select(
-            F.coalesce(F.col("s_conv_id"), F.col("t_conv_id")).alias("conv_id"),
-            F.coalesce(F.col("s_turn_idx"), F.col("t_turn_idx")).alias("turn_idx"),
-            status.alias("status"),
-            F.col("s_cmp_text").alias("src_text") if "text" in compare_cols
-            else F.lit(None).cast("string").alias("src_text"),
-            F.col("t_cmp_text").alias("tgt_text") if "text" in compare_cols
-            else F.lit(None).cast("string").alias("tgt_text"),
-        )
-        .orderBy("conv_id", "turn_idx")
+    return j.select(
+        F.coalesce(F.col("s_conv_id"), F.col("t_conv_id")).alias("conv_id"),
+        F.coalesce(F.col("s_turn_idx"), F.col("t_turn_idx")).alias("turn_idx"),
+        status.alias("status"),
+        F.col("s_cmp_text").alias("src_text") if "text" in compare_cols
+        else F.lit(None).cast("string").alias("src_text"),
+        F.col("t_cmp_text").alias("tgt_text") if "text" in compare_cols
+        else F.lit(None).cast("string").alias("tgt_text"),
     )
 
 
@@ -89,7 +93,9 @@ def rollup_conversations(recon: DataFrame) -> DataFrame:
     """Per-conversation status with the reference's precedence chain
     (reference: ReconciliationService.java:194-201): any missing side →
     that error dominates; else any text discrepancy; else OK. Expressed
-    as conditional count aggregates — one shuffle, map-side combined."""
+    as conditional count aggregates — one shuffle, map-side combined.
+    Unsorted (same rationale as ``reconcile``): at 10^9 conversations a
+    cosmetic global sort is a scale-killer."""
     agg = recon.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_turns"),
         F.sum(F.when(F.col("status") == STATUS_SOURCE_ONLY, 1).otherwise(0)).alias(
@@ -108,4 +114,4 @@ def rollup_conversations(recon: DataFrame) -> DataFrame:
         .when(F.col("n_discrepant") > 0, F.lit("TEXT_DISCREPANCY"))
         .otherwise(F.lit("OK"))
     )
-    return agg.withColumn("conv_status", conv_status).orderBy("conv_id")
+    return agg.withColumn("conv_status", conv_status)

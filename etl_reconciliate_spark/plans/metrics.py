@@ -55,9 +55,21 @@ def footer_index(changelog_path: str) -> list[dict]:
 
 
 def slice_lineage(index: list[dict], lo: int, hi: int) -> list[dict]:
-    """Files of the footer index whose lsn range overlaps (lo, hi]."""
+    """Files of the footer index whose lsn range overlaps (lo, hi].
+
+    ``file_rows`` is the WHOLE file's row count (footer metadata — the
+    slice may cover only part of it when slice boundaries don't align
+    with file boundaries); the exact per-slice event count is measured
+    separately via ``observe_count`` and recorded next to this lineage
+    in the run manifest. LSN ranges are clipped to the slice."""
     return [
-        f for f in index
+        {
+            "file": f["file"],
+            "file_rows": f["rows"],
+            "lsn_lo": max(f["lsn_lo"], lo + 1),
+            "lsn_hi": min(f["lsn_hi"], hi),
+        }
+        for f in index
         if f["lsn_hi"] is not None and f["lsn_hi"] > lo and f["lsn_lo"] <= hi
     ]
 

@@ -55,12 +55,19 @@ def replay_stream(
     n_partitions = n_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    # ordered_commits=False: the file source discovers files in mtime
+    # order, NOT LSN order, so a lower-LSN event for a deleted key can
+    # arrive after a compaction — compaction must therefore RETAIN
+    # tombstones or read-time max-LSN resolution would resurrect deleted
+    # rows. The bounded runner (LSN-ordered offsets) keeps the cheaper
+    # drop-at-compaction behavior.
     table = TargetTable(
         spark,
         target_path,
         n_buckets=n_partitions,
         mode=target_mode,
         compact_threshold=compact_threshold,
+        ordered_commits=False,
     )
     if not table.exists():
         payload = T.StructType(

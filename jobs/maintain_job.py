@@ -5,11 +5,16 @@ this job is the scheduled maintenance that keeps that trade healthy
 (the moral equivalent of Iceberg's rewrite_data_files +
 expire_snapshots procedures):
 
-* ``--compact``: fold all pending deltas into a new base snapshot
-  (drops tombstones — safe under in-LSN-order commits, see
-  target/table.py);
+* ``--compact``: fold all pending deltas into a new base snapshot.
+  Tombstones are dropped by default (safe under in-LSN-order commits,
+  see target/table.py) — pass ``--retain-tombstones`` for tables fed by
+  the out-of-order Structured Streaming runner. A compaction losing the
+  optimistic-concurrency race against an in-flight merge retries from
+  fresh metadata (``--retries``);
 * ``--expire-keep N``: reference-counted snapshot expiry, keeping the
-  newest N versions;
+  newest N versions; unreferenced dirs younger than the orphan grace
+  period are left alone (they may be a concurrent writer's staged,
+  not-yet-committed data);
 * always prints one JSON line with before/after version, live rows,
   pending delta count.
 
@@ -28,6 +33,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--target", required=True)
     ap.add_argument("--compact", action="store_true")
+    ap.add_argument("--retain-tombstones", action="store_true",
+                    help="keep delete tombstones through compaction "
+                         "(REQUIRED for stream-fed tables whose commits "
+                         "are not LSN-ordered)")
+    ap.add_argument("--retries", type=int, default=3,
+                    help="compaction retries on commit conflict with a "
+                         "concurrent writer")
     ap.add_argument("--expire-keep", type=int, default=0,
                     help="keep newest N snapshots (0 = no expiry)")
     ap.add_argument("--buckets", type=int, default=None)
@@ -38,7 +50,10 @@ def main() -> int:
     spark = SparkSession.builder.appName("cdc_maintain").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    from etl_reconciliate_spark.target.table import TargetTable
+    from etl_reconciliate_spark.target.table import (
+        CommitConflictError,
+        TargetTable,
+    )
 
     table = TargetTable(
         spark, args.target,
@@ -56,7 +71,19 @@ def main() -> int:
         "deltas_before": len(before.get("deltas", [])),
     }
     if args.compact:
-        stats = table.compact()
+        stats = None
+        for attempt in range(args.retries + 1):
+            try:
+                stats = table.compact(
+                    drop_tombstones=not args.retain_tombstones
+                )
+                break
+            except CommitConflictError:
+                if attempt == args.retries:
+                    print(json.dumps({**out, "error": "commit conflict "
+                                      f"after {args.retries} retries"}))
+                    return 1
+                # a merge committed under us — recompute from fresh state
         out["compacted_to_version"] = stats["version"]
         out["row_count"] = stats["row_count"]
     if args.expire_keep > 0:

@@ -33,6 +33,14 @@ def main() -> int:
     ap.add_argument("--target", required=True)
     ap.add_argument("--salts", type=int, default=8)
     ap.add_argument("--hot-threshold", type=int, default=100_000)
+    ap.add_argument("--results-dir", default=None,
+                    help="persist row-level recon results (parquet, "
+                         "partitioned by status) and the per-conversation "
+                         "rollup here")
+    ap.add_argument("--report-dir", default=None,
+                    help="emit the two-sheet human report (CSV per sheet "
+                         "+ report.html with conditional fill) here")
+    ap.add_argument("--report-max-rows", type=int, default=50_000)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -61,17 +69,67 @@ def main() -> int:
     recon = reconcile(
         source, target, n_salts=args.salts, hot_threshold=args.hot_threshold
     )
+    out: dict = {}
+    rollup_df = rollup_conversations(recon)
+
+    if args.results_dir or args.report_dir:
+        # the recon output feeds several consumers below — materialize it
+        # once instead of re-running the full-outer join per artifact
+        recon = recon.persist()
+        rollup_df = rollup_df.persist()
+
+    if args.results_dir:
+        # K1 parity (reference: ExcelReportService.java:53-82 — two result
+        # sets): the row-level and conversation-level result TABLES,
+        # partitioned by status so discrepancy scans prune at scale.
+        from etl_reconciliate_spark.sinks.report import write_result_table
+
+        turns_dir = f"{args.results_dir}/recon_turns"
+        convs_dir = f"{args.results_dir}/recon_conversations"
+        out["results"] = {
+            "recon_turns": {"path": turns_dir,
+                            "rows": write_result_table(recon, turns_dir)},
+            "recon_conversations": {
+                "path": convs_dir,
+                "rows": write_result_table(
+                    rollup_df, convs_dir, partition_by="conv_status"
+                ),
+            },
+        }
+
     counts = {r["status"]: r["n"] for r in status_counts(recon).collect()}
     rollup = (
-        rollup_conversations(recon)
-        .groupBy("conv_status")
+        rollup_df.groupBy("conv_status")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
+
+    if args.report_dir:
+        # the HUMAN two-sheet report: discrepant turns + non-OK
+        # conversations (the full sets live in --results-dir); sorted at
+        # this emission boundary only.
+        from etl_reconciliate_spark.sinks.report import write_two_sheet_report
+
+        rep = write_two_sheet_report(
+            {
+                "discrepant_turns": recon.filter(F.col("status") != "MATCH"),
+                "conversations": rollup_df.filter(F.col("conv_status") != "OK"),
+            },
+            args.report_dir,
+            title="Transcript reconciliation",
+            order_by={
+                "discrepant_turns": ["conv_id", "turn_idx"],
+                "conversations": ["conv_id"],
+            },
+            max_rows_per_sheet=args.report_max_rows,
+        )
+        out["report"] = rep
+
     print(json.dumps({
         "status_counts": counts,
         "conversation_counts": {r["conv_status"]: r["n"] for r in rollup},
         "total": sum(counts.values()),
+        **out,
     }))
     return 0
 

@@ -32,9 +32,15 @@ def main() -> int:
                     help="approx text payload bytes for generated events")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--no-lineage", action="store_true")
-    ap.add_argument("--target-mode", choices=["cow", "mor"], default="cow",
-                    help="copy-on-write (rewrite per slice) or "
-                         "merge-on-read (delta append + compaction)")
+    # mor default: cow rewrites the WHOLE table per slice — O(table)
+    # write amplification that at 10^10 events makes every slice cost as
+    # much as a full rebuild. MoR's O(slice) delta append + periodic
+    # compaction is the only viable default at scale (round-1 verdict
+    # item 6); cow remains for small targets / infrequent batches.
+    ap.add_argument("--target-mode", choices=["cow", "mor"], default="mor",
+                    help="merge-on-read (delta append + compaction; the "
+                         "scale path, default) or copy-on-write "
+                         "(rewrite per slice)")
     ap.add_argument("--compact-every", type=int, default=8,
                     help="mor: fold deltas into the base every N commits")
     ap.add_argument("--dedup-impl", choices=["window", "agg"], default="agg",

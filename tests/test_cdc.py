@@ -139,7 +139,10 @@ def test_lineage_manifest(spark, changelog_path, changelog_df, tmp_path):
     offs = table.committed_offsets()
     assert offs["lsn_hi"] == N - 1
     assert len(offs["partitions"]) > 0
-    assert sum(p["rows"] for p in offs["partitions"]) > 0
+    # file_rows is whole-file footer metadata (may exceed the slice);
+    # lsn ranges are clipped to the slice
+    assert sum(p["file_rows"] for p in offs["partitions"]) > 0
+    assert all(p["lsn_lo"] >= 0 and p["lsn_hi"] <= N - 1 for p in offs["partitions"])
 
 
 def test_dedup_agg_equals_window(spark, changelog_df):

@@ -146,7 +146,11 @@ def test_footer_lineage_index(spark, changelog_df, changelog_path):
     # brute-force range check
     sel = slice_lineage(idx, 2000, 7000)
     brute = [f for f in idx if not (f["lsn_hi"] <= 2000 or f["lsn_lo"] > 7000)]
-    assert sel == brute and len(sel) > 0
+    assert [s["file"] for s in sel] == [f["file"] for f in brute] and len(sel) > 0
+    # whole-file row counts are surfaced as file_rows; LSN ranges are
+    # CLIPPED to the slice so manifest consumers can't overstate coverage
+    assert all(s["file_rows"] == f["rows"] for s, f in zip(sel, brute))
+    assert all(2000 < s["lsn_lo"] <= s["lsn_hi"] <= 7000 for s in sel)
 
 
 # ------------------------------------------------------------------
@@ -232,6 +236,11 @@ def test_orphan_delta_invisible_and_cleaned(spark, changelog_df, changelog_path,
     sh.copytree(src_dir, orphan)
 
     assert table.read().count() == before  # invisible
+    # a FRESH unreferenced dir may be a concurrent writer's staged,
+    # not-yet-committed data — the default grace period protects it
     table.expire_snapshots(keep_last=1)
+    assert os.path.exists(orphan)
+    # past the grace period it is a true orphan and gets cleaned
+    table.expire_snapshots(keep_last=1, orphan_grace_secs=0.0)
     assert not os.path.exists(orphan)  # cleaned
     assert table.read().count() == before

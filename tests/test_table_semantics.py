@@ -1,0 +1,168 @@
+"""Round-2 table-layer semantics: pinned-version schema on time travel,
+optimistic-concurrency commits, tombstone safety under out-of-order
+commits, and the results/report sink."""
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from etl_reconciliate_spark.target.table import (
+    CommitConflictError,
+    TargetTable,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _batch(spark, rows, with_tool=False):
+    fields = "lsn BIGINT, op STRING, conv_id STRING, turn_idx INT, text STRING"
+    if with_tool:
+        fields += ", tool STRING"
+    return spark.createDataFrame(rows, fields)
+
+
+def test_time_travel_uses_pinned_schema(spark, tmp_path):
+    """A version pinned BEFORE a schema evolution must not show the
+    late-added column (round-1 verdict item 7)."""
+    t = TargetTable(spark, str(tmp_path / "t"), n_buckets=2, mode="mor")
+    t.init(SCHEMA)
+    t.merge_apply(_batch(spark, [(1, "I", "c1", 0, "hello")]), {"lsn_hi": 1})
+    v_pre = t.current_version()
+    t.merge_apply(
+        _batch(spark, [(2, "I", "c1", 1, "hi", "calc")], with_tool=True),
+        {"lsn_hi": 2},
+    )
+    assert "tool" in t.read().columns
+    pinned = t.read(version=v_pre)
+    assert "tool" not in pinned.columns
+    assert pinned.count() == 1
+
+
+def test_commit_conflict_and_stale_takeover(spark, tmp_path):
+    t = TargetTable(spark, str(tmp_path / "t"), n_buckets=2, mode="mor")
+    t.init(SCHEMA)
+    t.merge_apply(_batch(spark, [(1, "I", "c1", 0, "a")]), {"lsn_hi": 1})
+
+    # a FRESH claim on the next version slot = a live concurrent writer
+    nxt = t.current_version() + 1
+    claim = os.path.join(t.path, f"v{nxt:06d}.json")
+    open(claim, "w").close()
+    with pytest.raises(CommitConflictError):
+        t.merge_apply(_batch(spark, [(2, "U", "c1", 0, "b")]), {"lsn_hi": 2})
+
+    # an already-PUBLISHED version is always a conflict, however old
+    with open(claim, "w") as f:
+        json.dump({**t.metadata(), "version": nxt}, f)
+    with open(t._pointer, "w") as f:
+        f.write(str(nxt))
+    os.utime(claim, (time.time() - 3600, time.time() - 3600))
+    try:
+        t2 = TargetTable(spark, t.path, n_buckets=2)
+        nxt2 = nxt  # a second writer still targeting the published slot
+        with pytest.raises(CommitConflictError):
+            t2._commit(nxt2, SCHEMA, t2.metadata()["data_dir"], {},
+                       row_count=0, parent=nxt2 - 1, mode="mor", deltas=[])
+    finally:
+        pass
+
+    # a STALE unpublished claim (crashed writer) is taken over: resume works
+    nxt3 = t.current_version() + 1
+    stale = os.path.join(t.path, f"v{nxt3:06d}.json")
+    open(stale, "w").close()
+    os.utime(stale, (time.time() - 3600, time.time() - 3600))
+    stats = t.merge_apply(_batch(spark, [(3, "U", "c1", 0, "c")]), {"lsn_hi": 3})
+    assert stats["version"] == nxt3
+    assert t.current_version() == nxt3
+
+
+def test_tombstone_retained_without_ordered_commits(spark, tmp_path):
+    """Out-of-order commits (stream runner): a compaction that dropped
+    tombstones would let a LATER-committed but LOWER-LSN event resurrect
+    a deleted row. ordered_commits=False retains them; the deleted key
+    must stay dead."""
+    t = TargetTable(
+        spark, str(tmp_path / "t"), n_buckets=2, mode="mor",
+        ordered_commits=False,
+    )
+    t.init(SCHEMA)
+    t.merge_apply(_batch(spark, [(10, "I", "c1", 0, "v10")]), {"b": 1})
+    t.merge_apply(_batch(spark, [(20, "D", "c1", 0, None)]), {"b": 2})
+    t.compact()  # retains the lsn-20 tombstone
+    # out-of-order delivery: lsn 15 arrives after compaction
+    t.merge_apply(_batch(spark, [(15, "U", "c1", 0, "v15")]), {"b": 3})
+    assert t.read().count() == 0  # still deleted
+
+    # control: the ordered-commits default DROPS the tombstone, which is
+    # exactly why it must not be used with an out-of-order writer
+    t2 = TargetTable(spark, str(tmp_path / "t2"), n_buckets=2, mode="mor")
+    t2.init(SCHEMA)
+    t2.merge_apply(_batch(spark, [(10, "I", "c1", 0, "v10")]), {"b": 1})
+    t2.merge_apply(_batch(spark, [(20, "D", "c1", 0, None)]), {"b": 2})
+    t2.compact()
+    t2.merge_apply(_batch(spark, [(15, "U", "c1", 0, "v15")]), {"b": 3})
+    assert t2.read().count() == 1  # resurrected — the unordered hazard
+
+
+def test_compact_retained_tombstone_row_count_is_live(spark, tmp_path):
+    t = TargetTable(
+        spark, str(tmp_path / "t"), n_buckets=2, mode="mor",
+        ordered_commits=False,
+    )
+    t.init(SCHEMA)
+    t.merge_apply(
+        _batch(spark, [(1, "I", "c1", 0, "a"), (2, "I", "c2", 0, "b")]), {"b": 1}
+    )
+    t.merge_apply(_batch(spark, [(3, "D", "c1", 0, None)]), {"b": 2})
+    stats = t.compact()
+    assert stats["row_count"] == 1  # live rows only, tombstone excluded
+    assert t.count_live() == 1
+
+
+def test_report_sink_and_two_sheets(spark, tmp_path):
+    from etl_reconciliate_spark.sinks.report import (
+        write_result_table,
+        write_two_sheet_report,
+    )
+
+    recon = spark.createDataFrame(
+        [
+            ("c1", 0, "MATCH", "a", "a"),
+            ("c1", 1, "VALUE_DISCREPANCY", "b", "b!"),
+            ("c2", 0, "SOURCE_ONLY", "c", None),
+        ],
+        "conv_id STRING, turn_idx INT, status STRING, src_text STRING, tgt_text STRING",
+    )
+    out = str(tmp_path / "results")
+    n = write_result_table(recon, out)
+    assert n == 3
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    # partitioned by status → the discrepancy scan prunes to one partition
+    assert os.path.isdir(os.path.join(out, "status=VALUE_DISCREPANCY"))
+
+    rep = write_two_sheet_report(
+        {
+            "discrepant_turns": recon.filter(F.col("status") != "MATCH"),
+            "all_turns": recon,
+        },
+        str(tmp_path / "report"),
+        order_by={"discrepant_turns": ["conv_id", "turn_idx"],
+                  "all_turns": ["conv_id", "turn_idx"]},
+    )
+    assert rep["sheets"]["discrepant_turns"]["rows"] == 2
+    csv = open(rep["sheets"]["discrepant_turns"]["csv"]).read().splitlines()
+    assert csv[0].startswith("conv_id,turn_idx,status")
+    assert len(csv) == 3
+    html_doc = open(rep["html"]).read()
+    # conditional fill on non-OK rows, none on the MATCH row
+    assert html_doc.count('class="bad"') == 4  # 2 + 2 across both sheets
+    assert "VALUE_DISCREPANCY" in html_doc
