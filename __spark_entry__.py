@@ -517,7 +517,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_minhash() -> str:
+def _sql_lsh_cte() -> str:
+    """Shared DuckDB CTEs: shingles → minhash signature → banded bucket
+    join → candidate pairs (mirrors dedupe_docs.minhash_signatures +
+    lsh_candidate_pairs bit-for-bit via the portable hash32)."""
     from etl_reconciliate_spark.functions.hashing import hash32_sql
 
     mins = ",\n    ".join(
@@ -533,11 +536,7 @@ def _sql_minhash() -> str:
             f"SELECT doc_id, {b} AS band, md5(concat_ws('_', {cols})) AS bh FROM sig"
         )
     banded = "\nUNION ALL\n".join(band_rows)
-    est = " + ".join(
-        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASH)
-    )
-    return rf"""
-WITH {_sql_shingles(8)},
+    return rf"""{_sql_shingles(8)},
 sig AS (
   SELECT doc_id,
     {mins}
@@ -550,12 +549,55 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-)
+)"""
+
+
+def _sql_minhash() -> str:
+    est = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASH)
+    )
+    return rf"""
+WITH {_sql_lsh_cte()}
 SELECT doc_a, doc_b, ({est}) / {float(N_MINHASH)} AS est_jaccard
 FROM cand
 JOIN sig sa ON sa.doc_id = doc_a
 JOIN sig sb ON sb.doc_id = doc_b
 WHERE ({est}) / {float(N_MINHASH)} >= 0.3
+"""
+
+
+def q_dedup_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale composition (round-1 verdict item 5): LSH candidates
+    → EXACT Jaccard verify on candidates only — candidates ∝ n_docs ×
+    n_bands, never n²."""
+    from etl_reconciliate_spark.operators.dedupe_docs import lsh_jaccard_pairs
+
+    return lsh_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=8,
+        n_bands=N_BANDS,
+        rows_per_band=ROWS_PER_BAND,
+        threshold=0.3,
+    )
+
+
+def _sql_lsh_jaccard() -> str:
+    return rf"""
+WITH {_sql_lsh_cte()},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, n_common,
+       n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.3
 """
 
 
@@ -565,7 +607,8 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_t(spark, sf_dir, "documents"))
 
 
-def _sql_simhash(bits: int = 32) -> str:
+def _sql_simhash_cte(bits: int = 32) -> str:
+    """CTE chain ending in ``sim(doc_id, simhash)``."""
     from etl_reconciliate_spark.functions.hashing import hash32_sql
 
     h = hash32_sql("tok")
@@ -577,8 +620,7 @@ def _sql_simhash(bits: int = 32) -> str:
         f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
         for j in range(bits)
     )
-    return rf"""
-WITH d AS (
+    return rf"""d AS (
   SELECT doc_id,
     lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))) AS t
   FROM documents
@@ -593,8 +635,40 @@ per AS (
   SELECT doc_id,
     {sums}
   FROM hashed GROUP BY doc_id
+),
+sim AS (SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM per)"""
+
+
+def _sql_simhash(bits: int = 32) -> str:
+    return f"WITH {_sql_simhash_cte(bits)}\nSELECT doc_id, simhash FROM sim"
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIR FINDER (round-1: pytest-only, now
+    oracle-checked): 4×8-bit pigeonhole block bucketing → hamming ≤ 3."""
+    from etl_reconciliate_spark.operators.dedupe_docs import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _sql_simhash_pairs(bits: int = 32, max_hamming: int = 3) -> str:
+    return rf"""
+WITH {_sql_simhash_cte(bits)},
+blk AS (
+  SELECT doc_id, simhash, i.range AS blk,
+         (simhash >> (CAST(i.range AS INT) * 8)) & 255 AS bv
+  FROM sim, range(4) i
+),
+candp AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                  l.simhash AS sim_a, r.simhash AS sim_b
+  FROM blk l JOIN blk r
+    ON l.blk = r.blk AND l.bv = r.bv AND l.doc_id < r.doc_id
 )
-SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM per
+SELECT doc_a, doc_b,
+       CAST(bit_count(CAST(xor(sim_a, sim_b) AS BIGINT)) AS INT) AS hamming
+FROM candp
+WHERE bit_count(CAST(xor(sim_a, sim_b) AS BIGINT)) <= {max_hamming}
 """
 
 
@@ -672,6 +746,108 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
   AND (0.0 + {dot}) / (sqrt(0.0 + {norm_a}) * sqrt(0.0 + {norm_b})) >= 0.4
+"""
+
+
+EMB_BANDS = 4
+EMB_PPB = 4
+
+
+def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale embedding near-dup path (round-1 verdict item 5):
+    banded sign-LSH candidates → exact cosine re-rank. Deterministic
+    planes + left-to-right float folds make even this APPROXIMATE
+    operator exactly oracle-checkable: DuckDB reproduces the same
+    candidates and scores bit-for-bit."""
+    from etl_reconciliate_spark.operators.dedupe_docs import (
+        embedding_lsh_near_dup_pairs,
+    )
+
+    out = embedding_lsh_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        dim=DIM,
+        threshold=0.4,
+        n_bands=EMB_BANDS,
+        planes_per_band=EMB_PPB,
+    )
+    return out.select("id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine_r"))
+
+
+def _sql_embedding_lsh_near_dups(threshold: float = 0.4) -> str:
+    from etl_reconciliate_spark.operators.similarity import plane_coeffs
+
+    coeffs = plane_coeffs(DIM, EMB_BANDS * EMB_PPB)
+
+    def code_expr(alias: str, band: int) -> str:
+        bits = []
+        for r in range(EMB_PPB):
+            row = coeffs[band * EMB_PPB + r]
+            dot = " + ".join(
+                f"CAST({alias}.embedding[{i + 1}] AS DOUBLE) * {row[i]!r}"
+                for i in range(DIM)
+            )
+            bits.append(
+                f"(CASE WHEN (0.0 + {dot}) >= 0 THEN 1 ELSE 0 END) "
+                f"* {1 << (EMB_PPB - 1 - r)}"
+            )
+        return " + ".join(bits)
+
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS band, {code_expr('e', b)} AS code FROM embeddings e"
+        for b in range(EMB_BANDS)
+    )
+    dot = " + ".join(
+        f"CAST(a.embedding[{i}] AS DOUBLE) * CAST(b.embedding[{i}] AS DOUBLE)"
+        for i in range(1, DIM + 1)
+    )
+    norm_a = " + ".join(
+        f"CAST(a.embedding[{i}] AS DOUBLE) * CAST(a.embedding[{i}] AS DOUBLE)"
+        for i in range(1, DIM + 1)
+    )
+    norm_b = " + ".join(
+        f"CAST(b.embedding[{i}] AS DOUBLE) * CAST(b.embedding[{i}] AS DOUBLE)"
+        for i in range(1, DIM + 1)
+    )
+    return f"""
+WITH banded AS (
+{band_selects}
+),
+candp AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.code = y.code AND x.vec_id < y.vec_id
+)
+SELECT id_a, id_b,
+  ROUND((0.0 + {dot}) / (sqrt(0.0 + {norm_a}) * sqrt(0.0 + {norm_b})), 6)
+    AS cosine_r
+FROM candp
+JOIN embeddings a ON a.vec_id = id_a
+JOIN embeddings b ON b.vec_id = id_b
+WHERE (0.0 + {dot}) / (sqrt(0.0 + {norm_a}) * sqrt(0.0 + {norm_b}))
+      >= {threshold}
+"""
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_reconciliate_spark.operators.textstats import bpe_ish_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
+SQL_BPE_TOKENS = r"""
+WITH marked AS (
+  SELECT doc_id,
+    regexp_replace(coalesce(text, ''),
+                   '([0-9])([^0-9\s])|([^\s0-9a-zA-Z])', '\1\3 \2', 'g') AS m
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN length(trim(m)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(m), '\s+')) END AS n_bpe_tokens
+FROM marked
 """
 
 
@@ -776,9 +952,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "bpe_token_count": q_bpe_token_count,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_image_features": q_multimodal_image_features,
         "recon_transcripts": q_recon_transcripts,
@@ -811,9 +991,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_minhash_lsh": _sql_minhash(),
+        "dedup_lsh_jaccard": _sql_lsh_jaccard(),
         "simhash": _sql_simhash(),
+        "simhash_pairs": _sql_simhash_pairs(),
+        "bpe_token_count": SQL_BPE_TOKENS,
         "cosine_topk": _sql_cosine_topk(),
         "embedding_near_dups": _sql_embedding_near_dups(),
+        "embedding_near_dups_lsh": _sql_embedding_lsh_near_dups(),
         "recon_transcripts": SQL_RECON,
         # ann_lsh_topk, multimodal_image_features: rows-only (approximate /
         # binary plumbing — not SQL-expressible); correctness covered in

@@ -186,6 +186,47 @@ def minhash_near_dup_pairs(
     )
 
 
+def lsh_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """THE at-scale near-dup operator: MinHash-LSH candidate generation
+    → EXACT Jaccard verification on candidates only. Returns
+    (doc_a, doc_b, n_common, jaccard) for candidate pairs ≥ threshold.
+
+    Cost model at 100 TB: candidates ∝ n_docs × n_bands (bucket join),
+    and the exact shingle-overlap verify touches only candidate pairs —
+    never the n² of ``ngram_jaccard_pairs``, which stays as the
+    small-scale exactness oracle."""
+    sig = minhash_signatures(docs, k, n_bands * rows_per_band)
+    cand = lsh_candidate_pairs(sig, n_bands, rows_per_band)
+    sh = char_shingles(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
 # --------------------------------------------------------------- SimHash
 
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
@@ -258,8 +299,10 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Cosine near-duplicates over `array<float>` embeddings — the
-    brute-force O(n²) baseline (native zip_with/aggregate, no UDF).
-    Compose with `similarity.lsh_buckets` at scale."""
+    brute-force O(n²) EXACTNESS BASELINE (native zip_with/aggregate, no
+    UDF). The at-scale operator is
+    :func:`embedding_lsh_near_dup_pairs` (banded sign-LSH candidates +
+    exact re-rank); this one exists to oracle it and for small inputs."""
     def norm(df, suffix):
         v = F.col(vec_col).cast("array<double>")
         return df.select(
@@ -280,6 +323,68 @@ def embedding_near_dup_pairs(
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", dot / (F.col("n_a") * F.col("n_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_lsh_near_dup_pairs(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.8,
+    n_bands: int = 4,
+    planes_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """THE at-scale embedding near-dup operator: banded random-hyperplane
+    sign-LSH candidate generation → exact cosine re-rank ≥ threshold.
+
+    Candidate pairs ∝ bucket collisions (n_docs × n_bands bucket join),
+    never the n² crossJoin of the brute-force baseline. The planes are
+    deterministic driver-side literals (``similarity.plane_coeffs``) and
+    every float op folds left-to-right from 0.0, so an oracle engine
+    reproduces the exact same candidates AND scores bit-for-bit —
+    approximate in recall, deterministic in value."""
+    from etl_reconciliate_spark.operators.similarity import (
+        plane_sign_band_codes,
+    )
+
+    v = F.col(vec_col).cast("array<double>")
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        v.alias("vec"),
+        plane_sign_band_codes(v, dim, n_bands, planes_per_band).alias("codes"),
+    )
+    banded = base.select(
+        "id", F.posexplode(F.col("codes")).alias("band", "code")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    vecs = base.select("id", "vec")
+    va = vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("v_a"))
+    vb = vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("v_b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", dot / (n("v_a") * n("v_b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

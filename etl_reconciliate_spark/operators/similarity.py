@@ -17,9 +17,9 @@ Two paths:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+import hashlib
 
-from etl_reconciliate_spark.functions.hashing import hash32
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _norm_cols(df: DataFrame, id_col: str, vec_col: str, suffix: str) -> DataFrame:
@@ -75,27 +75,84 @@ def cosine_topk(
     )
 
 
-def _plane_sign_bits(vec_col: str, dim: int, n_planes: int):
-    """Sign bit of <v, plane_p> for deterministic planes:
-    plane_p[d] = (hash32('p:d') % 2001 - 1000) / 1000 ∈ [-1, 1]."""
-    bits = []
+def plane_coeffs(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane matrix, computed ONCE on
+    the driver: plane_p[d] = (md5_32('p:d') % 2001 - 1000) / 1000 ∈
+    [-1, 1] (the md5-prefix hash matches functions.hashing.hash32, so
+    an oracle engine can reproduce the exact same planes). Plain float
+    literals — no per-coefficient hash expression in the plan (round-1
+    verdict: 8×64 scalar md5 expression trees were pure plan bloat)."""
+    out = []
     for p in range(n_planes):
-        coeffs = F.array(
-            *[
-                ((hash32(F.lit(f"{p}:{d}")) % 2001 - 1000) / F.lit(1000.0))
-                for d in range(dim)
-            ]
-        )
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), coeffs, lambda x, c: x * c),
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        out.append(row)
+    return out
+
+
+def _plane_matrix(dim: int, n_planes: int) -> Column:
+    """The hyperplanes as ONE literal array<array<double>> column."""
+    return F.array(
+        *[
+            F.array(*[F.lit(c) for c in row])
+            for row in plane_coeffs(dim, n_planes)
+        ]
+    )
+
+
+def plane_sign_bucket(vec: Column, dim: int, n_planes: int) -> Column:
+    """Sign-pattern bucket id of ``vec`` against the deterministic
+    planes: one ``transform`` over the literal plane matrix (each dot is
+    a left-to-right ``zip_with``/``aggregate`` fold from 0.0 — the same
+    association an expanded ``0.0 + x1*c1 + ...`` oracle expression
+    uses, so buckets are bit-identical across engines). The fold packs
+    bits as ``acc*2 + sign`` (plane 0 is the high bit)."""
+    dots = F.transform(
+        _plane_matrix(dim, n_planes),
+        lambda row: F.aggregate(
+            F.zip_with(vec, row, lambda x, c: x * c),
             F.lit(0.0),
             lambda a, x: a + x,
-        )
-        bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b_ in bits[1:]:
-        out = out + b_
-    return out
+        ),
+    )
+    return F.aggregate(
+        dots,
+        F.lit(0),
+        lambda acc, d: acc * 2 + F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def plane_sign_band_codes(
+    vec: Column, dim: int, n_bands: int, planes_per_band: int
+) -> Column:
+    """Array of ``n_bands`` band codes: the sign pattern of
+    ``planes_per_band`` consecutive planes packed per band (same
+    ``acc*2 + sign`` packing as :func:`plane_sign_bucket`). Two vectors
+    colliding on ANY band are LSH candidates — the banding trades the
+    all-planes-agree strictness of a single bucket for recall, exactly
+    like MinHash banding."""
+    n_planes = n_bands * planes_per_band
+    dots = F.transform(
+        _plane_matrix(dim, n_planes),
+        lambda row: F.aggregate(
+            F.zip_with(vec, row, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+    )
+    bits = F.transform(
+        dots, lambda d: F.when(d >= 0, F.lit(1)).otherwise(F.lit(0))
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.aggregate(
+            F.slice(bits, b * planes_per_band + 1, planes_per_band),
+            F.lit(0),
+            lambda acc, x: acc * 2 + x,
+        ),
+    )
 
 
 def lsh_buckets(
@@ -111,7 +168,7 @@ def lsh_buckets(
     return df.select(
         F.col(id_col).alias("id"),
         v.alias("vec"),
-        _plane_sign_bits(vec_col, dim, n_planes).alias("bucket"),
+        plane_sign_bucket(v, dim, n_planes).alias("bucket"),
     )
 
 
