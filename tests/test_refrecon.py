@@ -90,3 +90,58 @@ def test_all_paths_exercised(results):
         "OK", "ERROR", "LOTE DUPLICADO JPAT",
         "TRANSACCIONES CON ERROR", "DIFERENCIA EN VALOR",
     } <= batch_statuses
+
+
+def test_results_sink_and_report_parity(spark, tmp_path):
+    """K1 parity (round-1 verdict item 4): the two result sets persist to
+    result tables and render as the two-sheet report, and what lands on
+    disk matches the pyref oracle row-for-row."""
+    from collections import Counter
+
+    from etl_reconciliate_spark.sinks.report import (
+        write_result_table,
+        write_two_sheet_report,
+    )
+
+    mensajes, payments, batches, trxs = gen_fixture(seed=7, n_random_msgs=25)
+    m_df = spark.createDataFrame(mensajes, schema=MENSAJES_SCHEMA)
+    p_df = spark.createDataFrame(payments, schema=PAYMENTS_SCHEMA)
+    b_df = spark.createDataFrame(batches, schema=BP_BATCH_SCHEMA)
+    t_df = spark.createDataFrame(trxs, schema=BP_BATCHTRANSACTION_SCHEMA)
+    trx_res, batch_res = reconcile_swift_jpat(m_df, p_df, b_df, t_df, LB, REF_DATE)
+
+    n_trx = write_result_table(trx_res, str(tmp_path / "trx_results"))
+    n_batch = write_result_table(batch_res, str(tmp_path / "batch_results"))
+
+    py_trx, py_batch = pyref_reconcile(mensajes, payments, batches, trxs, LB, REF_DATE)
+    assert n_trx == len(py_trx) and n_batch == len(py_batch)
+
+    # the PERSISTED rows (not the in-memory frames) match the oracle
+    back = spark.read.parquet(str(tmp_path / "trx_results"))
+    got = sorted(
+        [tuple(_norm(r[c]) for c in TRX_COLS) for r in back.collect()], key=_key
+    )
+    want = sorted(
+        [tuple(_norm(r[c]) for c in TRX_COLS) for r in py_trx], key=_key
+    )
+    assert got == want
+
+    # two-sheet report: both result sets, non-OK rows conditionally filled
+    rep = write_two_sheet_report(
+        {"transactions": trx_res, "batches": batch_res},
+        str(tmp_path / "report"),
+        title="SWIFT vs JPAT",
+        order_by={"transactions": ["swift_id", "status"],
+                  "batches": ["swift_id"]},
+    )
+    assert rep["sheets"]["transactions"]["rows"] == len(py_trx)
+    assert rep["sheets"]["batches"]["rows"] == len(py_batch)
+    html_doc = open(rep["html"]).read()
+    n_bad = sum(1 for t in py_trx if t["status"] != "OK") + sum(
+        1 for b in py_batch if b["status"] != "OK"
+    )
+    assert html_doc.count('class="bad"') == n_bad
+    counts = Counter(t["status"] for t in py_trx)
+    csv_lines = open(rep["sheets"]["transactions"]["csv"]).read().splitlines()
+    assert len(csv_lines) == len(py_trx) + 1
+    assert sum(1 for l in csv_lines if l.endswith(",OK")) == counts["OK"]
