@@ -36,6 +36,8 @@ def reconcile(
     n_salts: int = 8,
     hot_threshold: int = 100_000,
     compare_cols: tuple[str, ...] = ("text",),
+    hot_keys: DataFrame | None = None,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """Classify every key of source ⟗ target.
 
@@ -56,6 +58,7 @@ def reconcile(
     j = salted_full_outer(
         s, t, KEY_COLS, n_salts=n_salts, hot_threshold=hot_threshold,
         left_prefix="s", right_prefix="t",
+        hot_keys=hot_keys, sample_fraction=sample_fraction,
     )
 
     s_present = F.col("s_conv_id").isNotNull() | F.col("s_turn_idx").isNotNull()

@@ -43,11 +43,28 @@ def salted_full_outer(
     hot_threshold: int = 100_000,
     left_prefix: str = "l",
     right_prefix: str = "r",
+    hot_keys: DataFrame | None = None,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """Exact FULL OUTER equi-join with explicit hot-key salting.
 
     Returns all columns of both sides, prefixed ``{left_prefix}_`` /
     ``{right_prefix}_`` (unmatched side → nulls).
+
+    Hot-key detection, cheapest first:
+
+    * ``hot_keys`` — a caller-supplied (small) DataFrame of the key
+      columns. At 100 TB the hot set is usually KNOWN ahead of time
+      (previous run's census, table statistics, the run manifest) —
+      passing it skips the census scans entirely.
+    * ``sample_fraction`` — census on a Bernoulli sample with the
+      threshold scaled down proportionally (seeded: deterministic
+      across retries). A 100k-row hot key is found by a 1% sample with
+      ~±10% count error — set the threshold with that slack in mind.
+      Aggregation state shrinks by 1/fraction; exactness of the JOIN is
+      unaffected (only the hot/cold routing is approximate, and both
+      routes are exact).
+    * default — exact per-key counts on both sides (map-side combined).
     """
     lcols, rcols = left.columns, right.columns
 
@@ -59,16 +76,24 @@ def salted_full_outer(
     lk = [f"{left_prefix}_{k}" for k in keys]
     rk = [f"{right_prefix}_{k}" for k in keys]
 
-    # Per-key counts on each side; a key is hot if either side exceeds
-    # the threshold. This is one cheap pre-aggregation (map-side combine)
-    # and the hot set is tiny by construction → broadcast it.
-    lhot = lt.groupBy(lk).agg(F.count(F.lit(1)).alias("_ln")).filter(
-        F.col("_ln") > hot_threshold
-    ).select([F.col(c).alias(k) for c, k in zip(lk, keys)])
-    rhot = rt.groupBy(rk).agg(F.count(F.lit(1)).alias("_rn")).filter(
-        F.col("_rn") > hot_threshold
-    ).select([F.col(c).alias(k) for c, k in zip(rk, keys)])
-    hot = F.broadcast(lhot.unionByName(rhot).distinct())
+    if hot_keys is not None:
+        hot = F.broadcast(hot_keys.select(keys).distinct())
+    else:
+        lc, rc, thr = lt, rt, hot_threshold
+        if sample_fraction is not None:
+            lc = lt.sample(fraction=sample_fraction, seed=7)
+            rc = rt.sample(fraction=sample_fraction, seed=7)
+            thr = max(1, int(hot_threshold * sample_fraction))
+        # A key is hot if either side exceeds the threshold. One
+        # pre-aggregation per side (map-side combine); the hot set is
+        # tiny by construction → broadcast it.
+        lhot = lc.groupBy(lk).agg(F.count(F.lit(1)).alias("_ln")).filter(
+            F.col("_ln") > thr
+        ).select([F.col(c).alias(k) for c, k in zip(lk, keys)])
+        rhot = rc.groupBy(rk).agg(F.count(F.lit(1)).alias("_rn")).filter(
+            F.col("_rn") > thr
+        ).select([F.col(c).alias(k) for c, k in zip(rk, keys)])
+        hot = F.broadcast(lhot.unionByName(rhot).distinct())
 
     def split(df: DataFrame, kcols: list[str]):
         h = hot.select([F.col(k).alias(f"_h_{k}") for k in keys])

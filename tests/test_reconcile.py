@@ -69,10 +69,19 @@ def test_classification(spark, frames):
     assert rows[("c4", 0)] == "MATCH"  # null == null (null-safe)
 
 
-def test_stable_ordering(spark, frames):
+def test_deterministic_set_sorted_at_boundary(spark, frames):
+    """reconcile() is deliberately UNSORTED (a global key sort of the
+    recon output is a scale-killer — round-1 verdict item 3); the result
+    SET is deterministic and ordering is applied at the emission
+    boundary by consumers that want it."""
     src, tgt = frames
-    keys = [(r["conv_id"], r["turn_idx"]) for r in reconcile(src, tgt).collect()]
-    assert keys == sorted(keys)
+    rec = reconcile(src, tgt)
+    set_a = sorted((r["conv_id"], r["turn_idx"]) for r in rec.collect())
+    boundary = [
+        (r["conv_id"], r["turn_idx"])
+        for r in rec.orderBy("conv_id", "turn_idx").collect()
+    ]
+    assert boundary == set_a
 
 
 def test_salted_path_equals_plain(spark, frames):
@@ -97,6 +106,24 @@ def test_salted_many_to_many(spark):
         src, tgt, ["conv_id", "turn_idx"], n_salts=4, hot_threshold=2
     ).count()
     assert salted == plain == 6 * 5 + 2
+
+
+def test_hot_key_detection_variants(spark, frames):
+    """Supplied hot-key list (skips the census scans) and the sampled
+    census must classify identically to the exact census — the JOIN is
+    exact on every route; only hot/cold routing differs."""
+    src, tgt = frames
+    base = _counts(reconcile(src, tgt))
+    hk = spark.createDataFrame(
+        [("c1", 0), ("c3", 1)], "conv_id STRING, turn_idx INT"
+    )
+    assert _counts(reconcile(src, tgt, hot_keys=hk)) == base
+    assert (
+        _counts(
+            reconcile(src, tgt, hot_threshold=0, sample_fraction=1.0, n_salts=4)
+        )
+        == base
+    )
 
 
 def test_rollup(spark, frames):
