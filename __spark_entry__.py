@@ -874,6 +874,20 @@ def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(media)
 
 
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→many binary plumbing demo (rows-only check): documents.text as
+    opaque video bytes → mapInPandas frame sampling (stub decode)."""
+    from etl_reconciliate_spark.operators.multimodal import sample_video_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("content"),
+    )
+    return sample_video_frames(media, every_n=4)
+
+
 def q_recon_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's own reconciliation operator driven from public
     tables: derive src/tgt transcript-shaped frames from documents and
@@ -961,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_image_features": q_multimodal_image_features,
+        "multimodal_video_frames": q_multimodal_video_frames,
         "recon_transcripts": q_recon_transcripts,
     }
 
@@ -999,8 +1014,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _sql_embedding_near_dups(),
         "embedding_near_dups_lsh": _sql_embedding_lsh_near_dups(),
         "recon_transcripts": SQL_RECON,
-        # ann_lsh_topk, multimodal_image_features: rows-only (approximate /
-        # binary plumbing — not SQL-expressible); correctness covered in
-        # tests/test_similarity.py (recall vs brute force) and
-        # tests/test_multimodal.py
+        # ann_lsh_topk, multimodal_image_features, multimodal_video_frames:
+        # rows-only (approximate / binary plumbing — not SQL-expressible);
+        # correctness covered in tests/test_similarity.py (recall vs brute
+        # force) and tests/test_multimodal.py
     }

@@ -93,6 +93,8 @@ def test_entry_smoke(spark):
 
 
 def test_rows_only_queries(spark):
-    for name in ("ann_lsh_topk", "multimodal_image_features"):
+    for name in (
+        "ann_lsh_topk", "multimodal_image_features", "multimodal_video_frames"
+    ):
         df = entry_mod.queries()[name](spark, SF_DIR)
         assert df.count() > 0, name

@@ -80,3 +80,42 @@ def test_stream_incremental_arrival(spark, tmp_path):
 
     replay_stream(spark, log, tgt, ckpt)
     _assert_state(spark, tgt, df)
+
+
+def test_stream_out_of_order_delete_not_resurrected(spark, tmp_path):
+    """The ADVICE-high scenario: the file source discovers files in mtime
+    order, not LSN order. A delete's tombstone must survive compaction
+    (ordered_commits=False in the stream runner) so a later-discovered
+    but LOWER-LSN update cannot resurrect the deleted row."""
+    import datetime
+    import os
+    import time
+
+    from etl_reconciliate_spark.schemas import CHANGELOG_SCHEMA
+
+    log = str(tmp_path / "log")
+    ts = datetime.datetime(2026, 1, 1)
+
+    def write_event(name, lsn, op, text, mtime):
+        d = f"{log}/{name}"
+        spark.createDataFrame(
+            [(lsn, op, "c1", 0, "user", text, None, ts)], CHANGELOG_SCHEMA
+        ).coalesce(1).write.parquet(d)
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+        os.utime(d, (mtime, mtime))
+
+    t0 = time.time() - 1000
+    write_event("a", 10, "I", "v10", t0)
+    write_event("b", 20, "D", None, t0 + 100)
+    write_event("c", 15, "U", "v15", t0 + 200)  # out-of-order arrival
+
+    # one file per micro-batch + compaction after EVERY commit: the
+    # worst case — the tombstone is compacted before lsn 15 arrives
+    stats = replay_stream(
+        spark, log, str(tmp_path / "tbl"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, target_mode="mor", compact_threshold=1,
+    )
+    assert stats["batches"] == 3
+    assert TargetTable(spark, str(tmp_path / "tbl")).read().count() == 0
