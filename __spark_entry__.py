@@ -860,6 +860,23 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(emb, queries, dim=DIM, k=10, n_planes=8)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means inverted file) ANN — the second at-scale ANN family
+    next to sign-LSH. Rows-only (kmeans centroids are not
+    SQL-reproducible); recall vs brute force is pytest-gated
+    (tests/test_similarity.py, incl. exact degeneration at full probe)."""
+    from etl_reconciliate_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    # random init + few iterations: the quantizer only needs rough cells
+    # (probing covers the slack) and each kmeans iteration is a Spark job
+    return ivf_topk(
+        emb, queries, dim=DIM, k=10, n_centroids=16, nprobe=6,
+        max_iter=4, init_mode="random",
+    )
+
+
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing demo: documents.text encoded as opaque
     bytes → Arrow-batched mapInPandas feature extraction (stub decode)."""
@@ -974,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_video_frames": q_multimodal_video_frames,
         "recon_transcripts": q_recon_transcripts,
@@ -1014,8 +1032,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _sql_embedding_near_dups(),
         "embedding_near_dups_lsh": _sql_embedding_lsh_near_dups(),
         "recon_transcripts": SQL_RECON,
-        # ann_lsh_topk, multimodal_image_features, multimodal_video_frames:
-        # rows-only (approximate / binary plumbing — not SQL-expressible);
-        # correctness covered in tests/test_similarity.py (recall vs brute
-        # force) and tests/test_multimodal.py
+        # ann_lsh_topk, ann_ivf_topk, multimodal_image_features,
+        # multimodal_video_frames: rows-only (approximate / binary plumbing
+        # — not SQL-expressible); correctness covered in
+        # tests/test_similarity.py (recall vs brute force; IVF exact
+        # degeneration at full probe) and tests/test_multimodal.py
     }

@@ -94,7 +94,8 @@ def test_entry_smoke(spark):
 
 def test_rows_only_queries(spark):
     for name in (
-        "ann_lsh_topk", "multimodal_image_features", "multimodal_video_frames"
+        "ann_lsh_topk", "ann_ivf_topk",
+        "multimodal_image_features", "multimodal_video_frames",
     ):
         df = entry_mod.queries()[name](spark, SF_DIR)
         assert df.count() > 0, name

@@ -130,3 +130,29 @@ def test_embedding_near_dups_self_consistency(spark, emb):
     dup = two.withColumn("vec_id", F.col("vec_id") + 100000)
     pairs = embedding_near_dup_pairs(two.union(dup), threshold=0.999).collect()
     assert len(pairs) == 1 and abs(pairs[0]["cosine"] - 1.0) < 1e-9
+
+
+def test_ivf_full_probe_equals_exact(spark, emb):
+    """nprobe = n_centroids degenerates IVF to the exact scan: identical
+    (query, vec) result sets to the brute-force oracle."""
+    from etl_reconciliate_spark.operators.similarity import cosine_topk, ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=10)
+    full = ivf_topk(emb, queries, dim=64, k=10, n_centroids=8, nprobe=8)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in full.collect()}
+    assert a == e
+
+
+def test_ivf_partial_probe_recall(spark, emb):
+    from etl_reconciliate_spark.operators.similarity import cosine_topk, ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=10)
+    approx = ivf_topk(emb, queries, dim=64, k=10, n_centroids=8, nprobe=5)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    # near-uniform embeddings are the worst case (neighbors spread across
+    # cells); 5/8 cells must still recover most of the true top-k
+    assert len(a & e) / len(e) >= 0.6
