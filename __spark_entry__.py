@@ -956,6 +956,67 @@ FROM src s FULL OUTER JOIN tgt t
 
 
 # =====================================================================
+# §2.9 — streaming transformations, oracle-checked in batch mode: the
+# SAME DataFrame transformations run on readStream with watermarks /
+# event-time state (tests/test_streaming_stateful.py exercises the
+# late-data and timeout semantics on a real stream; here the batch run
+# verifies the aggregation logic value-for-value against DuckDB).
+# =====================================================================
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_reconciliate_spark.streaming.stateful import windowed_event_counts
+
+    ev = _t(spark, sf_dir, "events").withColumn("value", _dec(F.col("value")))
+    out = windowed_event_counts(ev, "1 hour")
+    return out.withColumn("sum_value", _dbl(F.col("sum_value")))
+
+
+SQL_STREAM_WIN = """
+SELECT date_trunc('hour', ts)                    AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR  AS window_end,
+       event_type,
+       count(*)                                  AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_reconciliate_spark.streaming.stateful import session_windows
+
+    ev = _t(spark, sf_dir, "events").withColumn("value", _dec(F.col("value")))
+    out = session_windows(ev, "60 minutes", key_col="user_id")
+    return out.withColumn("sum_value", _dbl(F.col("sum_value")))
+
+
+# session semantics mirrored exactly: Spark's session_window is
+# half-open [start, last+gap), so a gap of EXACTLY 60 min starts a new
+# session — hence `>=` in the break predicate.
+SQL_STREAM_SESSION = """
+WITH d AS (
+  SELECT user_id, ts, CAST(value AS DECIMAL(38,6)) AS value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 60 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM d
+)
+SELECT user_id,
+       min(ts)                       AS session_start,
+       max(ts) + INTERVAL 60 MINUTE  AS session_end,
+       count(*)                      AS n_events,
+       CAST(sum(value) AS DOUBLE)    AS sum_value
+FROM s
+GROUP BY user_id, sess
+"""
+
+
+# =====================================================================
 # contract surface
 # =====================================================================
 def entry(spark: SparkSession) -> DataFrame:
@@ -995,6 +1056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_video_frames": q_multimodal_video_frames,
         "recon_transcripts": q_recon_transcripts,
+        "stream_windowed_counts": q_stream_windowed_counts,
+        "stream_session_windows": q_stream_session_windows,
     }
 
 
@@ -1032,6 +1095,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _sql_embedding_near_dups(),
         "embedding_near_dups_lsh": _sql_embedding_lsh_near_dups(),
         "recon_transcripts": SQL_RECON,
+        "stream_windowed_counts": SQL_STREAM_WIN,
+        "stream_session_windows": SQL_STREAM_SESSION,
         # ann_lsh_topk, ann_ivf_topk, multimodal_image_features,
         # multimodal_video_frames: rows-only (approximate / binary plumbing
         # — not SQL-expressible); correctness covered in
