@@ -905,6 +905,20 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames(media, every_n=4)
 
 
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: documents.text as opaque audio bytes →
+    mapInPandas waveform features (stub decode, real vectorized numpy)."""
+    from etl_reconciliate_spark.operators.multimodal import extract_audio_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("media_type"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("content"),
+    )
+    return extract_audio_features(media)
+
+
 def q_recon_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's own reconciliation operator driven from public
     tables: derive src/tgt transcript-shaped frames from documents and
@@ -1055,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_video_frames": q_multimodal_video_frames,
+        "multimodal_audio_features": q_multimodal_audio_features,
         "recon_transcripts": q_recon_transcripts,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_session_windows": q_stream_session_windows,

@@ -92,6 +92,120 @@ def extract_image_features(
     )
 
 
+RESIZED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, max_dim: int = 256, strict: bool = False
+) -> DataFrame:
+    """Binary→binary image resize through ``mapInPandas``: scale so the
+    longer side is ``max_dim`` (no-op when already smaller). STUB
+    resample — dims come from the fake decode and the payload is a
+    deterministic byte-stride downsample proportional to the area
+    reduction; a real deployment swaps in PIL's ``Image.resize`` only.
+    The Spark-side contract (binary in/out, pruned column scan, Arrow
+    transport) is the real thing being exercised."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["media_type"] == "image"]
+            if pdf.empty:
+                continue
+            if strict and not _HAS_PIL:
+                raise NotImplementedError(
+                    "real image resize requires PIL (not in this container); "
+                    "run with strict=False for the deterministic stub"
+                )
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                if buf is None:
+                    rows.append((mid, None, None, None))
+                    continue
+                buf = bytes(buf)
+                w, h, _ = _decode_image_fake(buf)
+                scale = min(1.0, max_dim / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                stride = max(1, int(round(1.0 / (scale * scale))))
+                rows.append((mid, nw, nh, buf[::stride]))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "content"]
+            )
+
+    return media.select("media_id", "media_type", "content").mapInPandas(
+        op, schema=RESIZED_IMAGE_SCHEMA
+    )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+        T.StructField("sha1", T.StringType(), True),
+    ]
+)
+
+_FAKE_SAMPLE_RATE = 16_000
+
+
+def extract_audio_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Waveform feature extraction over binary audio content.
+
+    STUB decode — the bytes are interpreted as a raw signed-8-bit PCM
+    waveform at 16 kHz (a real deployment swaps in torchaudio/ffmpeg
+    decode only); the FEATURES (RMS energy, peak amplitude, duration)
+    are genuine vectorized numpy over whatever the decode yields, so the
+    per-batch compute shape matches production."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["media_type"] == "audio"]
+            if pdf.empty:
+                continue
+            if strict:
+                raise NotImplementedError(
+                    "real audio decode requires torchaudio/ffmpeg (not in "
+                    "this container); run with strict=False for the stub"
+                )
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                if buf is None or len(buf) == 0:
+                    rows.append((mid, None, None, None, None, None))
+                    continue
+                buf = bytes(buf)
+                wave = np.frombuffer(buf, dtype=np.int8).astype(np.float64) / 128.0
+                rows.append(
+                    (
+                        mid,
+                        len(wave),
+                        len(wave) / _FAKE_SAMPLE_RATE,
+                        float(np.sqrt(np.mean(wave * wave))),
+                        float(np.max(np.abs(wave))),
+                        hashlib.sha1(buf).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "duration_s", "rms", "peak", "sha1",
+                ],
+            )
+
+    return media.select("media_id", "media_type", "content").mapInPandas(
+        op, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
 FRAME_SAMPLE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -96,6 +96,7 @@ def test_rows_only_queries(spark):
     for name in (
         "ann_lsh_topk", "ann_ivf_topk",
         "multimodal_image_features", "multimodal_video_frames",
+        "multimodal_audio_features",
     ):
         df = entry_mod.queries()[name](spark, SF_DIR)
         assert df.count() > 0, name

@@ -8,7 +8,10 @@ from pyspark.sql import functions as F
 
 from etl_reconciliate_spark.operators.multimodal import (
     MEDIA_SCHEMA,
+    _FAKE_SAMPLE_RATE,
+    extract_audio_features,
     extract_image_features,
+    resize_images,
     sample_video_frames,
 )
 
@@ -42,6 +45,37 @@ def test_video_frame_sampling(spark, media):
     assert {r["media_id"] for r in frames} == {4}
     idxs = sorted(r["frame_idx"] for r in frames)
     assert idxs == list(range(0, 10, 3))  # 640 bytes → 10 frames, every 3rd
+
+
+def test_resize_images(spark, media):
+    out = resize_images(media, max_dim=64).orderBy("media_id").collect()
+    assert [r["media_id"] for r in out] == [1, 2, 3]
+    for r in out[:2]:
+        assert max(r["width"], r["height"]) <= 64
+        assert r["content"] is not None and len(r["content"]) <= 20
+    assert out[2]["content"] is None  # null in → null out
+    # a no-op resize keeps dims and payload byte-identical
+    big = resize_images(media, max_dim=4096).orderBy("media_id").collect()
+    feats = extract_image_features(media).orderBy("media_id").collect()
+    assert (big[0]["width"], big[0]["height"]) == (
+        feats[0]["width"], feats[0]["height"],
+    )
+    assert bytes(big[0]["content"]) == b"fake-jpeg-bytes-aaaa"
+
+
+def test_audio_features(spark, media):
+    import numpy as np
+
+    out = extract_audio_features(media).collect()
+    assert [r["media_id"] for r in out] == [5]  # only audio
+    r = out[0]
+    buf = b"riff-wav-stub"
+    wave = np.frombuffer(buf, dtype=np.int8).astype(np.float64) / 128.0
+    assert r["n_samples"] == len(buf)
+    assert abs(r["duration_s"] - len(buf) / _FAKE_SAMPLE_RATE) < 1e-12
+    assert abs(r["rms"] - float(np.sqrt(np.mean(wave * wave)))) < 1e-12
+    assert abs(r["peak"] - float(np.max(np.abs(wave)))) < 1e-12
+    assert r["sha1"] == hashlib.sha1(buf).hexdigest()
 
 
 def test_strict_mode_raises_without_codec(spark, media):
