@@ -520,11 +520,17 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_lsh_cte() -> str:
     """Shared DuckDB CTEs: shingles → minhash signature → banded bucket
     join → candidate pairs (mirrors dedupe_docs.minhash_signatures +
-    lsh_candidate_pairs bit-for-bit via the portable hash32)."""
-    from etl_reconciliate_spark.functions.hashing import hash32_sql
+    lsh_candidate_pairs bit-for-bit: one portable base hash32 per
+    shingle, affine-derived per-hash family)."""
+    from etl_reconciliate_spark.functions.hashing import (
+        M32,
+        hash32_sql,
+        minhash_coeffs,
+    )
 
     mins = ",\n    ".join(
-        f"MIN({hash32_sql('shingle', seed=i)}) AS h{i}" for i in range(N_MINHASH)
+        f"MIN(({a} * bhash + {b}) % {M32}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(N_MINHASH))
     )
     band_rows = []
     for b in range(N_BANDS):
@@ -537,10 +543,13 @@ def _sql_lsh_cte() -> str:
         )
     banded = "\nUNION ALL\n".join(band_rows)
     return rf"""{_sql_shingles(8)},
+sh_h AS (
+  SELECT doc_id, {hash32_sql('shingle')} AS bhash FROM sh
+),
 sig AS (
   SELECT doc_id,
     {mins}
-  FROM sh GROUP BY doc_id
+  FROM sh_h GROUP BY doc_id
 ),
 banded AS (
 {banded}

@@ -31,3 +31,23 @@ def hash32_sql(expr: str, seed: int | None = None) -> str:
     if seed is not None:
         inner = f"concat('{seed}' || chr(1), {inner})"
     return f"CAST(('0x' || substr(md5({inner}), 1, 8)) AS BIGINT)"
+
+
+M32 = 1 << 32
+
+
+def minhash_coeffs(n: int) -> list[tuple[int, int]]:
+    """Deterministic affine coefficients for the minhash family
+    ``h_i(x) = (a_i * hash32(x) + b_i) mod 2^32`` — ONE base md5 per
+    shingle instead of n seeded md5s (the md5 calls were 16× of the
+    minhash cost at sf0.1). a_i odd < 2^31 keeps a_i * hash32 < 2^63,
+    inside signed-64 range in both engines; coefficients are md5-derived
+    so the oracle side regenerates them identically."""
+    import hashlib
+
+    out = []
+    for i in range(n):
+        a = int(hashlib.md5(f"mh-a:{i}".encode()).hexdigest()[:8], 16) % (1 << 31) | 1
+        b = int(hashlib.md5(f"mh-b:{i}".encode()).hexdigest()[:8], 16)
+        out.append((a, b))
+    return out
