@@ -46,10 +46,21 @@ def replay_stream(
     max_files_per_trigger: int | None = None,
     target_mode: str = "mor",
     compact_threshold: int = 8,
+    dedup_within_watermark: str | None = None,
 ) -> dict:
     """Process the change-log backlog as a stream (availableNow trigger:
     drain everything discoverable, then stop). Resumable/idempotent via
-    ``checkpoint_dir`` + merge idempotence. Returns run stats."""
+    ``checkpoint_dir`` + merge idempotence. Returns run stats.
+
+    ``dedup_within_watermark`` (e.g. ``"10 minutes"``) inserts a native
+    ``dropDuplicatesWithinWatermark(["lsn"])`` stage: re-delivered
+    events whose LSN was already seen within the watermark horizon are
+    dropped in the streaming state store BEFORE the per-batch dedup and
+    merge — cutting shuffle+merge work for the common duplicate-delivery
+    case. Correctness never depends on it: a re-delivery arriving LATER
+    than the watermark horizon passes through and is absorbed by the
+    idempotent merge (newer-LSN-wins keeps the stored row)."""
+    from pyspark.sql import Observation, functions as F
     from pyspark.sql import types as T
 
     n_partitions = n_partitions or int(
@@ -82,13 +93,31 @@ def replay_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(changelog_path)
+    if dedup_within_watermark:
+        stream = stream.withWatermark(
+            "ts", dedup_within_watermark
+        ).dropDuplicatesWithinWatermark(["lsn"])
 
     batches: list[dict] = []
 
     def apply_batch(batch_df, batch_id: int) -> None:
+        # a stateful dedup stage upstream makes Spark run a trailing
+        # empty micro-batch after the watermark advances — skip it
+        # rather than committing an empty table version (the isEmpty
+        # probe is only paid when the dedup stage is on)
+        if dedup_within_watermark and batch_df.isEmpty():
+            return
+        obs = Observation()
+        batch_df = batch_df.observe(obs, F.count(F.lit(1)).alias("n"))
         deduped = dedup_max_lsn(batch_df.repartition(n_partitions, *KEY_COLS))
         stats = table.merge_apply(deduped, {"stream_batch_id": batch_id})
-        batches.append({"batch_id": batch_id, "version": stats["version"]})
+        batches.append(
+            {
+                "batch_id": batch_id,
+                "version": stats["version"],
+                "input_rows": int(obs.get["n"] or 0),
+            }
+        )
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)
@@ -99,6 +128,7 @@ def replay_stream(
     q.awaitTermination()
     return {
         "batches": len(batches),
+        "input_rows": sum(b["input_rows"] for b in batches),
         "target_rows": table.count_live(),
         "mode": table.mode(),
     }

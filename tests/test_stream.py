@@ -119,3 +119,49 @@ def test_stream_out_of_order_delete_not_resurrected(spark, tmp_path):
     )
     assert stats["batches"] == 3
     assert TargetTable(spark, str(tmp_path / "tbl")).read().count() == 0
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark(["lsn"]): a re-delivered event whose
+    LSN was seen within the watermark horizon is dropped in the state
+    store before reaching the merge; final state is unchanged either way."""
+    import datetime
+    import os
+    import time
+
+    from etl_reconciliate_spark.schemas import CHANGELOG_SCHEMA
+
+    log = str(tmp_path / "log")
+    base = datetime.datetime(2026, 1, 1)
+
+    def write(name, rows, mtime):
+        d = f"{log}/{name}"
+        spark.createDataFrame(rows, CHANGELOG_SCHEMA).coalesce(1).write.parquet(d)
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+        os.utime(d, (mtime, mtime))
+
+    def ev(lsn, conv, turn, text, secs):
+        return (lsn, "I", conv, turn, "user", text,
+                None, base + datetime.timedelta(seconds=secs))
+
+    t0 = time.time() - 1000
+    write("a", [ev(1, "c1", 0, "v1", 1), ev(2, "c1", 1, "v2", 2)], t0)
+    # batch 2 re-delivers lsn 2 (within the 1h watermark horizon) plus a
+    # genuinely new event
+    write("b", [ev(2, "c1", 1, "v2", 2), ev(3, "c2", 0, "v3", 3)], t0 + 100)
+
+    stats = replay_stream(
+        spark, log, str(tmp_path / "tbl"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, dedup_within_watermark="1 hour",
+    )
+    assert stats["batches"] == 2
+    assert stats["input_rows"] == 3  # the re-delivered lsn 2 never arrived
+    assert stats["target_rows"] == 3
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in TargetTable(spark, str(tmp_path / "tbl")).read().collect()
+    }
+    assert got == {("c1", 0): "v1", ("c1", 1): "v2", ("c2", 0): "v3"}
