@@ -468,12 +468,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=8, threshold=0.3)
 
 
-def _sql_shingles(k: int = 8) -> str:
+def _sql_shingles(k: int = 8, src: str = "documents") -> str:
     return rf"""
 d AS (
   SELECT doc_id,
     lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))) AS t
-  FROM documents
+  FROM {src}
 ),
 sh AS (
   SELECT DISTINCT d.doc_id, substr(d.t, CAST(gs.i AS INT), {k}) AS shingle
@@ -517,7 +517,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_lsh_cte() -> str:
+def _sql_lsh_cte(src: str = "documents") -> str:
     """Shared DuckDB CTEs: shingles → minhash signature → banded bucket
     join → candidate pairs (mirrors dedupe_docs.minhash_signatures +
     lsh_candidate_pairs bit-for-bit: one portable base hash32 per
@@ -542,7 +542,7 @@ def _sql_lsh_cte() -> str:
             f"SELECT doc_id, {b} AS band, md5(concat_ws('_', {cols})) AS bh FROM sig"
         )
     banded = "\nUNION ALL\n".join(band_rows)
-    return rf"""{_sql_shingles(8)},
+    return rf"""{_sql_shingles(8, src)},
 sh_h AS (
   SELECT doc_id, {hash32_sql('shingle')} AS bhash FROM sh
 ),
@@ -837,6 +837,81 @@ WHERE (0.0 + {dot}) / (sqrt(0.0 + {norm_a}) * sqrt(0.0 + {norm_b}))
 """
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus curation pipeline (quality gate →
+    language gate → exact dedup → LSH near-dup removal) — the whole
+    chain value-checked against one DuckDB oracle."""
+    from etl_reconciliate_spark.operators.curate import curate_corpus
+
+    return curate_corpus(
+        _t(spark, sf_dir, "documents"),
+        min_quality=0.5,
+        min_tokens=5,
+        langs=("en",),
+        n_bands=N_BANDS,
+        rows_per_band=ROWS_PER_BAND,
+        jaccard_threshold=0.3,
+    )
+
+
+def _sql_curate(
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+    langs: tuple[str, ...] = ("en",),
+    th: float = 0.3,
+) -> str:
+    from etl_reconciliate_spark.operators.textstats import (
+        QUALITY_ORACLE_SQL,
+        lang_id_oracle_sql,
+    )
+
+    langs_sql = ", ".join(f"'{x}'" for x in langs)
+    return rf"""
+WITH qy AS ({QUALITY_ORACLE_SQL}),
+ln AS ({lang_id_oracle_sql()}),
+filtered AS (
+  SELECT dd.doc_id, dd.text, ln.lang_pred, qy.n_tokens, qy.quality_score
+  FROM documents dd
+  JOIN qy ON qy.doc_id = dd.doc_id
+  JOIN ln ON ln.doc_id = dd.doc_id
+  WHERE qy.quality_score >= {min_quality} AND qy.n_tokens >= {min_tokens}
+    AND ln.lang_pred IN ({langs_sql})
+),
+fpt AS (
+  SELECT doc_id,
+    md5(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))))
+      AS fingerprint
+  FROM filtered
+),
+exact AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+    FROM fpt
+  ) WHERE rn = 1
+),
+exdocs AS (SELECT f.* FROM filtered f JOIN exact USING (doc_id)),
+{_sql_lsh_cte(src="exdocs")},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+drops AS (
+  SELECT DISTINCT doc_b FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= {th}
+)
+SELECT e.doc_id, e.lang_pred, e.n_tokens, e.quality_score
+FROM exdocs e LEFT JOIN drops ON drops.doc_b = e.doc_id
+WHERE drops.doc_b IS NULL
+"""
+
+
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_reconciliate_spark.operators.textstats import bpe_ish_token_count
 
@@ -1068,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
+        "curate_corpus": q_curate_corpus,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "bpe_token_count": q_bpe_token_count,
@@ -1112,6 +1188,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_minhash_lsh": _sql_minhash(),
         "dedup_lsh_jaccard": _sql_lsh_jaccard(),
+        "curate_corpus": _sql_curate(),
         "simhash": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),
         "bpe_token_count": SQL_BPE_TOKENS,

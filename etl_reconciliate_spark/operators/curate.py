@@ -1,0 +1,94 @@
+"""End-to-end training-corpus curation pipeline.
+
+Composes the individually-oracle-checked operators into the shape a
+real LLM-data pipeline runs over raw documents:
+
+1. **quality gate** — composite score ≥ ``min_quality`` and
+   ``n_tokens`` ≥ ``min_tokens`` (operators.textstats.with_quality);
+2. **language gate** — marker-n-gram prediction in ``langs``
+   (with_lang_id);
+3. **exact dedup** — keep the min-doc_id representative per content
+   fingerprint (with_fingerprint + one window);
+4. **near-dup removal** — MinHash-LSH candidates → EXACT Jaccard verify
+   ≥ ``jaccard_threshold`` (dedupe_docs.lsh_jaccard_pairs, the at-scale
+   bucketed path) → drop every doc that has a kept near-dup with a
+   smaller doc_id.
+
+Everything is native column algebra over one pipeline of DataFrames —
+filters run before the (expensive) shingling so the dedup stages only
+touch surviving documents; the LSH candidate join shuffles
+O(n_docs × n_bands), never n². Deterministic end to end, so the whole
+composition is value-checked against a single DuckDB SQL oracle
+(__spark_entry__.SQL_CURATE).
+
+reference: no equivalent exists in the reference app — this is the
+§"beyond the reference" training-data surface; stage semantics follow
+public corpus-cleaning pipelines (C4/Gopher-style gates, MinHash dedup
+a la RefinedWeb/SlimPajama).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from etl_reconciliate_spark.operators.dedupe_docs import lsh_jaccard_pairs
+from etl_reconciliate_spark.operators.textstats import (
+    with_fingerprint,
+    with_lang_id,
+    with_quality,
+)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.3,
+    min_tokens: int = 5,
+    langs: tuple[str, ...] = ("en",),
+    k: int = 8,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Returns the curated corpus: (doc_id, lang_pred, n_tokens,
+    quality_score) for every document surviving all four stages."""
+    q = with_quality(docs).select("doc_id", "n_tokens", "quality_score")
+    l = with_lang_id(docs).select("doc_id", "lang_pred")
+    gated = (
+        docs.join(q, "doc_id")
+        .join(l, "doc_id")
+        .filter(
+            (F.col("quality_score") >= min_quality)
+            & (F.col("n_tokens") >= min_tokens)
+            & F.col("lang_pred").isin(*langs)
+        )
+    )
+
+    fp = with_fingerprint(gated)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    exact_keep = (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id")
+    )
+    exact = gated.join(exact_keep, "doc_id")
+
+    pairs = lsh_jaccard_pairs(
+        exact, k=k, n_bands=n_bands, rows_per_band=rows_per_band,
+        threshold=jaccard_threshold,
+    )
+    near_dup_drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return exact.join(near_dup_drop, "doc_id", "left_anti").select(
+        "doc_id", "lang_pred", "n_tokens", "quality_score"
+    )
+
+
+def curation_stats(
+    docs: DataFrame, curated: DataFrame
+) -> DataFrame:
+    """One-row summary: input vs surviving counts (for reports)."""
+    n_in = docs.select(F.count(F.lit(1)).alias("n_input"))
+    n_out = curated.select(F.count(F.lit(1)).alias("n_kept"))
+    return n_in.crossJoin(n_out).withColumn(
+        "drop_rate",
+        (F.col("n_input") - F.col("n_kept")) / F.col("n_input"),
+    )

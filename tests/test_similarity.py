@@ -156,3 +156,35 @@ def test_ivf_partial_probe_recall(spark, emb):
     # near-uniform embeddings are the worst case (neighbors spread across
     # cells); 5/8 cells must still recover most of the true top-k
     assert len(a & e) / len(e) >= 0.6
+
+
+def test_curate_corpus_stage_semantics(spark):
+    """Composed curation: language gate, min-token gate, exact dedup
+    (min doc_id wins), LSH near-dup removal (smaller doc_id kept)."""
+    from etl_reconciliate_spark.operators.curate import (
+        curate_corpus,
+        curation_stats,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again!"),  # near-dup of 1
+        (3, "the  quick brown fox jumps over the lazy dog again and again"),  # exact dup of 1 (ws-normalized)
+        (4, "completely different content about the spark window functions and more"),
+        (5, "yet another unrelated document mentioning the parquet pruning and related"),
+        (6, "el gato y la casa que los perros el dia la noche que viene"),  # es
+        (7, "the few words"),  # under min_tokens
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "synthetic", len(t)) for i, t in rows],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = curate_corpus(
+        docs, min_quality=0.3, min_tokens=5, langs=("en",),
+        jaccard_threshold=0.5,
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {1, 4, 5}
+    stats = curation_stats(docs, out).collect()[0]
+    assert stats["n_input"] == 7 and stats["n_kept"] == 3
+    assert abs(stats["drop_rate"] - 4 / 7) < 1e-12
