@@ -16,3 +16,69 @@ def test_jdbc_partitioned_requires_bounds(spark):
 def test_jdbc_missing_driver_is_actionable(spark):
     with pytest.raises(Exception, match="driver"):
         read_jdbc_table(spark, "jdbc:nosuchdb://nowhere/x", "t")
+
+
+def test_debezium_envelope_parse_and_merge(spark, tmp_path):
+    """Debezium JSON envelopes (wrapped and plain, incl. heartbeat noise)
+    parse to canonical changelog rows with native from_json, and the
+    parsed feed drives the normal dedup -> merge pipeline."""
+    import json
+
+    from etl_reconciliate_spark.operators.dedup import dedup_max_lsn
+    from etl_reconciliate_spark.schemas import CHANGELOG_SCHEMA
+    from etl_reconciliate_spark.sources.debezium import (
+        parse_debezium,
+        read_debezium_jsonl,
+    )
+    from etl_reconciliate_spark.target.table import TargetTable
+
+    def env(op, lsn, before=None, after=None, ts_ms=None, wrap=True):
+        p = {"before": before, "after": after,
+             "source": {"lsn": lsn, "db": "t"}, "op": op, "ts_ms": ts_ms}
+        return json.dumps({"schema": {"type": "struct"}, "payload": p} if wrap else p)
+
+    def row(conv, turn, role, text, tool, ts):
+        return {"conv_id": conv, "turn_idx": turn, "role": role,
+                "text": text, "tool": tool, "ts": ts}
+
+    lines = [
+        env("c", 1, after=row("c1", 0, "user", "hi", None,
+                              "2026-01-01T00:00:01"), wrap=True),
+        env("u", 2, before=row("c1", 0, "user", "hi", None,
+                               "2026-01-01T00:00:01"),
+            after=row("c1", 0, "user", "hi v2", "grep",
+                      "2026-01-01T00:00:02"), wrap=False),
+        env("r", 3, after=row("c2", 0, "assistant", "snap", None,
+                              "2026-01-01T00:00:03"), wrap=True),
+        env("d", 4, before=row("c2", 0, "assistant", "snap", None,
+                               "2026-01-01T00:00:03"),
+            ts_ms=1767225604000, wrap=False),
+        json.dumps({"heartbeat": True}),  # dropped: no lsn/op
+    ]
+    jsonl = tmp_path / "cdc.jsonl"
+    jsonl.write_text("\n".join(lines) + "\n")
+
+    parsed = read_debezium_jsonl(spark, str(jsonl))
+    assert parsed.schema == CHANGELOG_SCHEMA or [
+        (f.name, f.dataType) for f in parsed.schema.fields
+    ] == [(f.name, f.dataType) for f in CHANGELOG_SCHEMA.fields]
+    got = {r["lsn"]: r for r in parsed.collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert (got[1]["op"], got[1]["text"]) == ("I", "hi")
+    assert (got[2]["op"], got[2]["text"], got[2]["tool"]) == ("U", "hi v2", "grep")
+    assert got[3]["op"] == "I"  # snapshot read -> insert
+    d = got[4]
+    assert (d["op"], d["conv_id"], d["turn_idx"]) == ("D", "c2", 0)
+    assert d["role"] is None and d["text"] is None and d["tool"] is None
+    assert d["ts"] is not None  # envelope ts_ms
+
+    # the parsed feed drives the normal pipeline end to end
+    tgt = TargetTable(spark, str(tmp_path / "tbl"), n_buckets=4)
+    import pyspark.sql.types as T
+    tgt.init(T.StructType([f for f in CHANGELOG_SCHEMA.fields
+                           if f.name not in ("lsn", "op")]))
+    tgt.merge_apply(dedup_max_lsn(parsed.repartition(4, "conv_id", "turn_idx")),
+                    {"lsn_hi": 4})
+    live = {(r["conv_id"], r["turn_idx"]): r["text"]
+            for r in tgt.read().collect()}
+    assert live == {("c1", 0): "hi v2"}  # c2/0 deleted, c1/0 at max LSN
