@@ -50,6 +50,44 @@ META_COLS = [META_LSN, META_DELETED]
 PARQUET_CODEC = "zstd"
 
 
+# Safe type promotions (Iceberg's evolution rules): each chain is
+# ordered narrow → wide; a column may move right along its chain only.
+_PROMOTION_CHAINS = (
+    ["byte", "short", "integer", "long"],
+    ["float", "double"],
+)
+
+
+def _wider(a: T.DataType, b: T.DataType) -> T.DataType:
+    """The wider of two types along a safe promotion chain; raises
+    SchemaConflictError when they are on no common chain."""
+    an, bn = a.typeName(), b.typeName()
+    for chain in _PROMOTION_CHAINS:
+        if an in chain and bn in chain:
+            return a if chain.index(an) >= chain.index(bn) else b
+    raise SchemaConflictError(
+        f"incompatible type change {an} -> {bn}: only widening promotions "
+        f"{_PROMOTION_CHAINS} are supported"
+    )
+
+
+class SchemaConflictError(RuntimeError):
+    """A batch column's type conflicts with the table schema and is not
+    a safe widening promotion."""
+
+
+def _conform(df: DataFrame, want: T.StructType) -> DataFrame:
+    """Pad columns missing from ``df`` with typed nulls and cast columns
+    whose type is narrower than ``want``'s (widening evolution)."""
+    have = {f_.name: f_.dataType for f_ in df.schema.fields}
+    for f_ in want.fields:
+        if f_.name not in have:
+            df = df.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+        elif have[f_.name] != f_.dataType:
+            df = df.withColumn(f_.name, F.col(f_.name).cast(f_.dataType))
+    return df
+
+
 class CommitConflictError(RuntimeError):
     """Another writer committed (or is committing) the same version.
 
@@ -177,9 +215,9 @@ class TargetTable:
         """One data dir, padded to schema ``want`` (late-added columns
         read as nulls, Iceberg-style) with meta columns last."""
         df = self.spark.read.parquet(os.path.join(self.path, data_dir))
-        for f_ in want.fields:
-            if f_.name not in df.columns:
-                df = df.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+        # _conform also casts files written before a widening promotion
+        # (int32 base files under an int64 evolved schema)
+        df = _conform(df, want)
         return df.select([f_.name for f_ in want.fields] + META_COLS)
 
     def read(self, include_meta: bool = False, version: int | None = None) -> DataFrame:
@@ -241,8 +279,20 @@ class TargetTable:
             f_ for f_ in batch.schema.fields
             if f_.name in batch_payload and f_.name not in cur_schema.fieldNames()
         ]
+        # widen existing columns when the batch carries a safely-wider
+        # type (int→long, float→double, Iceberg's promotion rules); a
+        # NARROWER batch type (old epoch replayed after widening) keeps
+        # the table's wide type and the batch is cast up at write time.
+        batch_types = {f_.name: f_.dataType for f_ in batch.schema.fields}
+        evolved_existing = [
+            T.StructField(f_.name, _wider(f_.dataType, batch_types[f_.name]), True)
+            if f_.name in batch_payload
+            and batch_types[f_.name] != f_.dataType
+            else f_
+            for f_ in cur_schema.fields
+        ]
         evolved = T.StructType(
-            list(cur_schema.fields)
+            evolved_existing
             + [T.StructField(f_.name, f_.dataType, True) for f_ in new_fields]
         )
 
@@ -250,12 +300,10 @@ class TargetTable:
             return self._merge_mor(batch, evolved, offsets)
 
         tgt = self.read(include_meta=True)  # padded to latest committed schema
-        for f_ in new_fields:
-            tgt = tgt.withColumn(f_.name, F.lit(None).cast(f_.dataType))
-        src = batch
-        for f_ in evolved.fields:  # batch may lack late columns too (old slice)
-            if f_.name not in src.columns:
-                src = src.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+        # pad missing columns and cast widened ones (both the stored side
+        # and an old-epoch batch may be narrower than the evolved schema)
+        tgt = _conform(tgt, evolved)
+        src = _conform(batch, evolved)
 
         payload_cols = [f_.name for f_ in evolved.fields if f_.name not in KEY_COLS]
 
@@ -321,10 +369,7 @@ class TargetTable:
         time; compaction folds deltas into the base every
         ``compact_threshold`` commits."""
         meta = self.metadata()
-        src = batch
-        for f_ in evolved.fields:  # batch may lack late columns (old slice)
-            if f_.name not in src.columns:
-                src = src.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+        src = _conform(batch, evolved)
         delta_rows = (
             src.select(
                 *[F.col(f_.name) for f_ in evolved.fields],

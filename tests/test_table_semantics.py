@@ -166,3 +166,63 @@ def test_report_sink_and_two_sheets(spark, tmp_path):
     # conditional fill on non-OK rows, none on the MATCH row
     assert html_doc.count('class="bad"') == 4  # 2 + 2 across both sheets
     assert "VALUE_DISCREPANCY" in html_doc
+
+
+def _score_batch(spark, rows, score_type="INT"):
+    return spark.createDataFrame(
+        rows,
+        f"lsn BIGINT, op STRING, conv_id STRING, turn_idx INT, score {score_type}",
+    )
+
+
+SCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("score", T.IntegerType()),
+    ]
+)
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_schema_widening_int_to_long(spark, tmp_path, mode):
+    """A batch carrying a wider type (int -> long) widens the table
+    schema; pre-widening data files are cast at read time; a later
+    NARROWER batch (old epoch replay) is cast up without changing the
+    schema; time travel to a pre-widening version keeps int."""
+    from etl_reconciliate_spark.target.table import _wider  # noqa: F401
+
+    t = TargetTable(spark, str(tmp_path / "t"), n_buckets=2, mode=mode)
+    t.init(SCORE_SCHEMA)
+    t.merge_apply(_score_batch(spark, [(1, "I", "c1", 0, 5)]), {"lsn_hi": 1})
+    v_pre = t.current_version()
+    assert dict(t.read().dtypes)["score"] == "int"
+
+    big = 3_000_000_000  # does not fit int32
+    t.merge_apply(
+        _score_batch(spark, [(2, "I", "c2", 0, big)], "BIGINT"), {"lsn_hi": 2}
+    )
+    assert dict(t.read().dtypes)["score"] == "bigint"
+    got = {(r["conv_id"], r["turn_idx"]): r["score"] for r in t.read().collect()}
+    assert got == {("c1", 0): 5, ("c2", 0): big}
+
+    # old-epoch replay with the narrow type: cast up, schema unchanged
+    t.merge_apply(_score_batch(spark, [(3, "U", "c1", 0, 7)]), {"lsn_hi": 3})
+    assert dict(t.read().dtypes)["score"] == "bigint"
+    got = {(r["conv_id"], r["turn_idx"]): r["score"] for r in t.read().collect()}
+    assert got == {("c1", 0): 7, ("c2", 0): big}
+
+    # time travel: the pinned version still reads as int
+    assert dict(t.read(version=v_pre).dtypes)["score"] == "int"
+
+
+def test_schema_conflict_raises(spark, tmp_path):
+    from etl_reconciliate_spark.target.table import SchemaConflictError
+
+    t = TargetTable(spark, str(tmp_path / "t"), n_buckets=2)
+    t.init(SCORE_SCHEMA)
+    with pytest.raises(SchemaConflictError, match="incompatible"):
+        t.merge_apply(
+            _score_batch(spark, [(1, "I", "c1", 0, "oops")], "STRING"),
+            {"lsn_hi": 1},
+        )
