@@ -431,7 +431,15 @@ class TargetTable:
                 F.when(~F.coalesce(F.col(META_DELETED), F.lit(False)), 1).otherwise(0)
             ).alias("live"),
         )
-        resolved.repartition(self.n_buckets, *KEY_COLS).write.option(
+        # compaction is already a full rewrite, so key-sort each bucket
+        # file for free-ish: parquet row-group min/max on conv_id become
+        # tight, and every point/range read after compaction prunes row
+        # groups instead of scanning the bucket (delta writes stay
+        # UNSORTED — the hot path pays no sort; sorting is amortized
+        # into maintenance, the Iceberg rewrite-with-sort-order pattern)
+        resolved.repartition(self.n_buckets, *KEY_COLS).sortWithinPartitions(
+            *KEY_COLS
+        ).write.option(
             "compression", PARQUET_CODEC
         ).mode("overwrite").parquet(
             out_path

@@ -244,3 +244,33 @@ def test_orphan_delta_invisible_and_cleaned(spark, changelog_df, changelog_path,
     table.expire_snapshots(keep_last=1, orphan_grace_secs=0.0)
     assert not os.path.exists(orphan)  # cleaned
     assert table.read().count() == before
+
+
+def test_compaction_sorts_buckets_by_key(spark, tmp_path):
+    """The compacted base is key-sorted within each bucket file so parquet
+    row-group min/max prune point/range reads (delta writes stay unsorted
+    — the hot path pays no sort)."""
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    from etl_reconciliate_spark.target.table import TargetTable
+
+    t = TargetTable(spark, str(tmp_path / "t"), n_buckets=2, mode="mor",
+                    compact_threshold=100)
+    t.init(T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ]))
+    rows = [(i, "I", f"c{i % 37}", i // 37, f"t{i}") for i in range(500)]
+    batch = spark.createDataFrame(
+        rows, "lsn BIGINT, op STRING, conv_id STRING, turn_idx INT, text STRING"
+    )
+    t.merge_apply(batch, {"lsn_hi": 499})
+    stats = t.compact()
+    base = f"{tmp_path}/t/{stats['data_dir']}"
+    df = spark.read.parquet(base).withColumn("_f", F.input_file_name())
+    pdf = df.toPandas()
+    for _f, grp in pdf.groupby("_f"):
+        keys = list(zip(grp["conv_id"], grp["turn_idx"]))
+        assert keys == sorted(keys), f"bucket file not key-sorted: {_f}"
