@@ -172,13 +172,19 @@ def main() -> None:
         #   per-slice driver costs don't masquerade as poor scaling.
         # * window dedup pinned (the max_by default halves per-event
         #   work and shifts weight to fixed costs at this small scale).
-        # * runs INTERLEAVED 4N,N,4N,N (best-of-2 per size) so the
-        #   shared host's time-correlated noise hits both sizes
-        #   symmetrically (single runs swing ±10%: 0.74-0.85 observed
-        #   at zstd-6). Failures degrade to an error field.
+        # * runs INTERLEAVED 4N,N,4N,N,... (best-of-3 per size by
+        #   default) so the shared host's time-correlated noise hits
+        #   both sizes symmetrically. Noise on this host is LOW-FREQUENCY
+        #   (tens of minutes): a 2026-08-17 remeasure saw back-to-back
+        #   pairs swing 0.774 → 0.907 at identical config because both
+        #   4N draws of one pair landed in a slow window — three spaced
+        #   draws per size make a two-bad-draw artifact much rarer.
+        #   (zstd-10 was also measured and rejected: 0.873 efficiency
+        #   with ~30% slower legs — level 8 stays the gate config.)
+        #   Failures degrade to an error field.
         try:
             sc_events = int(os.environ.get("BENCH_SCALING_EVENTS", "40000000"))
-            sc_runs = int(os.environ.get("BENCH_SCALING_RUNS", "2"))
+            sc_runs = int(os.environ.get("BENCH_SCALING_RUNS", "3"))
             sc_log = _ensure_log(sc_events)
             sconf = {"spark.io.compression.zstd.level": "8"}
             sargs = ["--dedup-impl", "window",
