@@ -33,9 +33,9 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from etl_reconciliate_spark.operators.dedupe_docs import lsh_jaccard_pairs
 from etl_reconciliate_spark.operators.textstats import (
+    lang_pred_column,
+    quality_columns,
     with_fingerprint,
-    with_lang_id,
-    with_quality,
 )
 
 
@@ -50,17 +50,23 @@ def curate_corpus(
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
     """Returns the curated corpus: (doc_id, lang_pred, n_tokens,
-    quality_score) for every document surviving all four stages."""
-    q = with_quality(docs).select("doc_id", "n_tokens", "quality_score")
-    l = with_lang_id(docs).select("doc_id", "lang_pred")
-    gated = (
-        docs.join(q, "doc_id")
-        .join(l, "doc_id")
-        .filter(
-            (F.col("quality_score") >= min_quality)
-            & (F.col("n_tokens") >= min_tokens)
-            & F.col("lang_pred").isin(*langs)
-        )
+    quality_score) for every document surviving all four stages.
+
+    The two gates are pure column algebra folded into ONE projection of
+    the input scan (no self-joins: at 100 TB, joining three scans of
+    the same table on doc_id would triple the read and add two
+    shuffles)."""
+    qc = quality_columns()
+    gated = docs.select(
+        "doc_id",
+        "text",
+        lang_pred_column().alias("lang_pred"),
+        qc["n_tokens"].alias("n_tokens"),
+        qc["quality_score"].alias("quality_score"),
+    ).filter(
+        (F.col("quality_score") >= min_quality)
+        & (F.col("n_tokens") >= min_tokens)
+        & F.col("lang_pred").isin(*langs)
     )
 
     fp = with_fingerprint(gated)

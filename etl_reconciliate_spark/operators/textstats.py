@@ -32,11 +32,11 @@ def bpe_ish_token_count(col: Column) -> Column:
 
 # --------------------------------------------------------------- quality
 
-def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Quality-score a corpus: length, token stats, punctuation /
-    uppercase / digit / stopword ratios, and a composite [0,1] score.
-    Mirrors the heuristics of public corpus-cleaning pipelines
-    (C4/Gopher-style rules), expressed as pure column algebra."""
+def quality_columns(text_col: str = "text") -> dict[str, Column]:
+    """The quality metrics as named Columns (pure column algebra) — so
+    callers can fold them into an existing projection without a join
+    (one scan instead of scan+join at 100 TB). ``with_quality`` is the
+    DataFrame-level wrapper."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     n_chars = F.length(t)
     n_tokens = token_count(t)
@@ -69,16 +69,26 @@ def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
         - F.when(n_tokens < 5, F.lit(0.25)).otherwise(F.lit(0.0))
     )
 
+    return {
+        "n_chars_m": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": punct_ratio,
+        "upper_ratio": upper_ratio,
+        "digit_ratio": digit_ratio,
+        "stopword_ratio": stop_ratio,
+        "mean_token_len": mean_tok_len,
+        "quality_score": score,
+    }
+
+
+def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-score a corpus: length, token stats, punctuation /
+    uppercase / digit / stopword ratios, and a composite [0,1] score.
+    Mirrors the heuristics of public corpus-cleaning pipelines
+    (C4/Gopher-style rules), expressed as pure column algebra."""
+    cols = quality_columns(text_col)
     return docs.select(
-        "doc_id",
-        n_chars.alias("n_chars_m"),
-        n_tokens.alias("n_tokens"),
-        punct_ratio,
-        upper_ratio,
-        digit_ratio,
-        stop_ratio,
-        mean_tok_len,
-        score.alias("quality_score"),
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
     )
 
 
@@ -135,13 +145,11 @@ def _marker_score(lower: Column, markers: list[str]) -> Column:
     return s
 
 
-def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Marker-n-gram language ID over {en,es,de,fr} ('und' when no
-    marker hits). Greatest-score wins; ties break by language order via
-    a structured argmax (greatest over (score, rank) structs)."""
+def lang_pred_column(text_col: str = "text") -> Column:
+    """The predicted-language Column alone (for join-free composition
+    into an existing projection)."""
     lower = F.concat(F.lit(" "), F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(" "))
     scores = {lang: _marker_score(lower, ms) for lang, ms in LANG_MARKERS.items()}
-    # argmax via greatest(struct(score, priority, lang))
     structs = [
         F.struct(
             scores[lang].alias("s"),
@@ -151,10 +159,19 @@ def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         for i, lang in enumerate(LANG_MARKERS)
     ]
     best = F.greatest(*structs)
+    return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-n-gram language ID over {en,es,de,fr} ('und' when no
+    marker hits). Greatest-score wins; ties break by language order via
+    a structured argmax (greatest over (score, rank) structs)."""
+    lower = F.concat(F.lit(" "), F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(" "))
+    scores = {lang: _marker_score(lower, ms) for lang, ms in LANG_MARKERS.items()}
     out = docs.select(
         "doc_id",
         *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
-        F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+        lang_pred_column(text_col).alias("lang_pred"),
     )
     return out
 
