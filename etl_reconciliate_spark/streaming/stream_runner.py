@@ -47,6 +47,7 @@ def replay_stream(
     target_mode: str = "mor",
     compact_threshold: int = 8,
     dedup_within_watermark: str | None = None,
+    changelog_format: str = "parquet",
 ) -> dict:
     """Process the change-log backlog as a stream (availableNow trigger:
     drain everything discoverable, then stop). Resumable/idempotent via
@@ -86,13 +87,25 @@ def replay_stream(
         )
         table.init(payload)
 
-    reader = (
-        spark.readStream.schema(CHANGELOG_SCHEMA)
-        .option("recursiveFileLookup", "true")
-    )
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(changelog_path)
+    if changelog_format == "debezium-jsonl":
+        # raw Debezium envelope lines → canonical changelog via the
+        # batch/stream-polymorphic from_json adapter
+        from etl_reconciliate_spark.sources.debezium import parse_debezium
+
+        reader = spark.readStream.option("recursiveFileLookup", "true")
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = parse_debezium(reader.text(changelog_path), "value")
+    elif changelog_format == "parquet":
+        reader = (
+            spark.readStream.schema(CHANGELOG_SCHEMA)
+            .option("recursiveFileLookup", "true")
+        )
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(changelog_path)
+    else:
+        raise ValueError(f"unknown changelog_format: {changelog_format!r}")
     if dedup_within_watermark:
         stream = stream.withWatermark(
             "ts", dedup_within_watermark

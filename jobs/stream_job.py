@@ -33,6 +33,10 @@ def main() -> int:
     ap.add_argument("--dedup-within-watermark", default=None,
                     help="e.g. '10 minutes': drop re-delivered LSNs in "
                          "the streaming state store before the merge")
+    ap.add_argument("--changelog-format", default="parquet",
+                    choices=["parquet", "debezium-jsonl"],
+                    help="parquet change-log table or raw Debezium "
+                         "JSON envelope lines")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -52,6 +56,7 @@ def main() -> int:
         target_mode=args.target_mode,
         compact_threshold=args.compact_every,
         dedup_within_watermark=args.dedup_within_watermark,
+        changelog_format=args.changelog_format,
     )
     print(json.dumps(stats))
     return 0

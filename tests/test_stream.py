@@ -165,3 +165,39 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         for r in TargetTable(spark, str(tmp_path / "tbl")).read().collect()
     }
     assert got == {("c1", 0): "v1", ("c1", 1): "v2", ("c2", 0): "v3"}
+
+
+def test_stream_debezium_jsonl_format(spark, tmp_path):
+    """The streaming runner ingests raw Debezium envelope lines
+    (changelog_format='debezium-jsonl') to the same final state as the
+    equivalent parquet changelog."""
+    import json
+
+    def env(op, lsn, before=None, after=None, ts_ms=None):
+        return json.dumps({"payload": {
+            "before": before, "after": after,
+            "source": {"lsn": lsn}, "op": op, "ts_ms": ts_ms}})
+
+    def row(conv, turn, text):
+        return {"conv_id": conv, "turn_idx": turn, "role": "user",
+                "text": text, "tool": None, "ts": "2026-01-01T00:00:01"}
+
+    lines = [
+        env("c", 1, after=row("c1", 0, "v1")),
+        env("u", 2, before=row("c1", 0, "v1"), after=row("c1", 0, "v2")),
+        env("c", 3, after=row("c2", 0, "x")),
+        env("d", 4, before=row("c2", 0, "x"), ts_ms=1767225604000),
+    ]
+    log = tmp_path / "cdc"
+    log.mkdir()
+    (log / "part-000.jsonl").write_text("\n".join(lines) + "\n")
+
+    stats = replay_stream(
+        spark, str(log), str(tmp_path / "tbl"), str(tmp_path / "ckpt"),
+        changelog_format="debezium-jsonl",
+    )
+    assert stats["input_rows"] == 4 and stats["target_rows"] == 1
+    got = TargetTable(spark, str(tmp_path / "tbl")).read().collect()
+    assert [(r["conv_id"], r["turn_idx"], r["text"]) for r in got] == [
+        ("c1", 0, "v2")
+    ]
