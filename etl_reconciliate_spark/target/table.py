@@ -444,7 +444,7 @@ class TargetTable:
         ).mode("overwrite").parquet(
             out_path
         )
-        row_count = int(obs.get["live"] or 0)
+        row_count = self._observed_live(obs, out_path)
         self._commit(
             version, schema, data_dir, meta.get("offsets", {}),
             row_count=row_count, parent=version - 1,
@@ -452,6 +452,21 @@ class TargetTable:
         )
         return {"version": version, "row_count": row_count, "data_dir": data_dir,
                 "n_deltas": 0}
+
+    def _observed_live(self, obs, out_path: str) -> int:
+        """Live-row count from the write's Observation, with a fallback:
+        when the written plan is EMPTY, AQE propagates the empty
+        relation through the sort and eliminates the CollectMetrics
+        node, so ``obs.get`` raises a JVM assertion instead of returning
+        a null metric — re-count from the written files (degenerate
+        case, cheap)."""
+        try:
+            return int(obs.get["live"] or 0)
+        except Exception:
+            out = self.spark.read.parquet(out_path)
+            return out.filter(
+                ~F.coalesce(F.col(META_DELETED), F.lit(False))
+            ).count()
 
     def count_live(self) -> int:
         """Exact live-row count (cheap in cow — committed metadata;
