@@ -170,6 +170,121 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    vectors: DataFrame,
+    index_path: str,
+    dim: int,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 10,
+    init_mode: str = "k-means||",
+) -> dict:
+    """Build and PERSIST an IVF index: the cell assignment parquet
+    (hash-clustered by cell so a probe scans only its cells' files) and
+    the centroid matrix. Build once, query many — the k-means fit is
+    paid at index time, not per query (``ivf_topk`` refits per call and
+    stays for ad-hoc use). Returns {n_centroids, n_vectors, path}."""
+    import json
+    import os
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = vectors.select(
+        F.col(id_col).alias("id_v"),
+        F.col(vec_col).cast("array<double>").alias("v_v"),
+    )
+    feat = v.withColumn("_feat", array_to_vector(F.col("v_v")))
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, initMode=init_mode,
+        featuresCol="_feat", predictionCol="_cell",
+    ).fit(feat)
+    assigned = model.transform(feat).select("id_v", "v_v", "_cell")
+    os.makedirs(index_path, exist_ok=True)
+    (
+        assigned.repartition(max(1, n_centroids // 4), "_cell")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(os.path.join(index_path, "cells"))
+    )
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    n_vectors = assigned.count()
+    with open(os.path.join(index_path, "centroids.json"), "w") as f:
+        json.dump({"dim": dim, "n_centroids": n_centroids,
+                   "centroids": centers, "n_vectors": n_vectors}, f)
+    return {"n_centroids": n_centroids, "n_vectors": n_vectors,
+            "path": index_path}
+
+
+def ivf_topk_from_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index (``build_ivf_index``): each query
+    probes its ``nprobe`` nearest centroids (Arrow-batched pandas UDF
+    over the broadcast centroid matrix) and exact-cosine re-ranks inside
+    those cells only. The cells parquet is clustered by ``_cell``, so
+    the probe join's scan prunes to the probed cells' files."""
+    import json
+    import os
+
+    from pyspark.sql.functions import pandas_udf
+
+    with open(os.path.join(index_path, "centroids.json")) as f:
+        meta = json.load(f)
+    centers = np.asarray(meta["centroids"])
+    n_probe = min(nprobe, meta["n_centroids"])
+    assigned = spark.read.parquet(os.path.join(index_path, "cells"))
+    b_centers = spark.sparkContext.broadcast(centers)
+
+    @pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        c = b_centers.value
+        m = np.stack(vecs.to_numpy())
+        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(order))
+
+    q = queries.select(
+        F.col(query_id_col).alias("id_q"),
+        F.col(vec_col).cast("array<double>").alias("v_q"),
+    ).withColumn("_cell", F.explode(probe_cells(F.col("v_q"))))
+
+    dot = F.aggregate(
+        F.zip_with(F.col("v_v"), F.col("v_q"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.greatest(  # noqa: E731
+        F.sqrt(F.aggregate(F.col(c), F.lit(0.0), lambda a, x: a + x * x)),
+        F.lit(1e-12),
+    )
+    scored = (
+        q.join(assigned, "_cell")
+        .filter(F.col("id_v") != F.col("id_q"))
+        .withColumn("cosine", dot / (norm("v_v") * norm("v_q")))
+        .select("id_q", "id_v", "cosine")
+    )
+    w = Window.partitionBy("id_q").orderBy(F.col("cosine").desc(), F.col("id_v").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id_q").alias("query_id"),
+            F.col("id_v").alias("vec_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
 def plane_coeffs(dim: int, n_planes: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplane matrix, computed ONCE on
     the driver: plane_p[d] = (md5_32('p:d') % 2001 - 1000) / 1000 ∈

@@ -188,3 +188,35 @@ def test_curate_corpus_stage_semantics(spark):
     stats = curation_stats(docs, out).collect()[0]
     assert stats["n_input"] == 7 and stats["n_kept"] == 3
     assert abs(stats["drop_rate"] - 4 / 7) < 1e-12
+
+
+def test_ivf_index_persist_and_query(spark, emb, tmp_path):
+    """A persisted IVF index returns the same results as the in-memory
+    ivf_topk at identical quantizer settings, and full-probe degenerates
+    to the exact scan."""
+    from etl_reconciliate_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_topk,
+        ivf_topk_from_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    info = build_ivf_index(emb, idx, dim=64, n_centroids=8, seed=7,
+                           max_iter=4, init_mode="random")
+    assert info["n_vectors"] == emb.count()
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    from_index = ivf_topk_from_index(spark, idx, queries, k=5, nprobe=3)
+    in_memory = ivf_topk(emb, queries, dim=64, k=5, n_centroids=8, nprobe=3,
+                         seed=7, max_iter=4, init_mode="random")
+    a = {(r["query_id"], r["rank"]): r["vec_id"] for r in from_index.collect()}
+    b = {(r["query_id"], r["rank"]): r["vec_id"] for r in in_memory.collect()}
+    assert a == b
+
+    # nprobe = n_centroids probes every cell → identical to brute force
+    full = ivf_topk_from_index(spark, idx, queries, k=5, nprobe=8)
+    exact = cosine_topk(emb, queries, k=5)
+    fa = {(r["query_id"], r["rank"]): r["vec_id"] for r in full.collect()}
+    ea = {(r["query_id"], r["rank"]): r["vec_id"] for r in exact.collect()}
+    assert fa == ea
