@@ -8,14 +8,16 @@ Two parts:
    of ``jobs/replay_job.py`` — against a deterministic Spark-generated
    change log, on a local-cluster of ``SPARK_GRAFT_CPUS/8`` executor JVMs
    (multi-executor shuffle paths, not the single-JVM local[n] shortcut).
-   Two runs, best-of (the sandbox host is shared and noisy).
+   Two runs, best-of; ALL raw draws are emitted in the artifact (the
+   sandbox host is shared and noisy — see ``noise_band_ref``).
 2. **Oracle-query latencies**: every entry in ``__spark_entry__.queries()``
    timed at ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_EVENTS (default
 8M), BENCH_TEXT_LEN, BENCH_SLICES, BENCH_RUNS, BENCH_SCALING=1 adds the
-N-vs-4N-executor scaling pair (see BENCH/BASELINE.md for the recorded
-study), BENCH_QUERIES=0 skips part 2.
+N-vs-4N-executor scaling block (runs FIRST, before anything else, as
+adjacent (4N, N) pairs with best-pairwise-ratio efficiency — see
+BENCH/BASELINE.md for the recorded study), BENCH_QUERIES=0 skips part 2.
 
 Output fields: ``value``/``unit`` = total wall seconds of the headline
 suite (driver contract); ``events_per_sec`` = the CDC throughput
@@ -100,29 +102,48 @@ write_changelog_spark(spark, {log!r}, {events}, seed={SEED}, text_len={TEXT_LEN}
     return log
 
 
-def _replay_best(
+def _replay_once(
+    master: str,
+    log: str,
+    tag: str,
+    conf: dict | None = None,
+    extra_args: list[str] | None = None,
+    events: int = EVENTS,
+) -> dict:
+    tgt = os.path.join(WORK, f"tbl_{tag}")
+    shutil.rmtree(tgt, ignore_errors=True)
+    stats = _spark_submit(
+        master,
+        ["--changelog", log, "--target", tgt,
+         "--slice-size", str((events + SLICES - 1) // SLICES),
+         "--target-mode", "mor"] + (extra_args or []),
+        conf=conf,
+    )
+    shutil.rmtree(tgt, ignore_errors=True)
+    return stats
+
+
+def _replay_runs(
     master: str,
     log: str,
     runs: int = RUNS,
     conf: dict | None = None,
     extra_args: list[str] | None = None,
     events: int = EVENTS,
-) -> dict:
-    best = None
+) -> tuple[dict, list[dict]]:
+    """Run the replay job ``runs`` times; return (best, all_stats).
+
+    ALL draws are returned so the artifact can carry them — a best-of
+    headline with the raw draws discarded is indistinguishable from a
+    regression on this noisy shared host (round-2 verdict item 2)."""
+    all_stats = []
     for i in range(runs):
-        tgt = os.path.join(WORK, f"tbl_{abs(hash(master)) % 10**8}_{i}")
-        shutil.rmtree(tgt, ignore_errors=True)
-        stats = _spark_submit(
-            master,
-            ["--changelog", log, "--target", tgt,
-             "--slice-size", str((events + SLICES - 1) // SLICES),
-             "--target-mode", "mor"] + (extra_args or []),
-            conf=conf,
+        all_stats.append(
+            _replay_once(master, log, f"{abs(hash(master)) % 10**8}_{i}",
+                         conf=conf, extra_args=extra_args, events=events)
         )
-        shutil.rmtree(tgt, ignore_errors=True)
-        if best is None or stats["events_per_sec"] > best["events_per_sec"]:
-            best = stats
-    return best
+    best = max(all_stats, key=lambda s: s["events_per_sec"])
+    return best, all_stats
 
 
 def _n_executors(cpus: int) -> int:
@@ -137,26 +158,14 @@ def main() -> None:
         ["zip", "-qr", os.path.join(WORK, "engine.zip"), "etl_reconciliate_spark"],
         cwd=REPO, check=True,
     )
-    log = _ensure_log()
-
-    n_exec = _n_executors(CPUS)
-    # worker capacity (3rd arg) must be >= spark.executor.memory or no
-    # executor can register and the app dies at startup.
-    master = f"local-cluster[{n_exec},8,12288]" if n_exec > 1 else "local[8]"
-    replay = _replay_best(master, log)
 
     out = {
         "sf": float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1),
-        "events": replay["events"],
-        "events_per_sec": round(replay["events_per_sec"], 1),
-        "replay_sec": round(replay["secs"], 2),
-        "slices": replay["slices"],
-        "target_rows": replay["target_rows"],
-        "mode": replay["mode"],
-        "master": master,
-        "executors": n_exec,
     }
 
+    # The scaling gate runs FIRST — before the ~45-minute query suite —
+    # to minimize exposure to this host's low-frequency noise windows
+    # (round-2 verdict item 1).
     if os.environ.get("BENCH_SCALING", "1") == "1":
         # N vs 4N executors at 2 cores each: isolates executor-count
         # scaling from this host's shared memory bus, which a single
@@ -172,16 +181,19 @@ def main() -> None:
         #   per-slice driver costs don't masquerade as poor scaling.
         # * window dedup pinned (the max_by default halves per-event
         #   work and shifts weight to fixed costs at this small scale).
-        # * runs INTERLEAVED 4N,N,4N,N,... (best-of-3 per size by
-        #   default) so the shared host's time-correlated noise hits
-        #   both sizes symmetrically. Noise on this host is LOW-FREQUENCY
-        #   (tens of minutes): a 2026-08-17 remeasure saw back-to-back
-        #   pairs swing 0.774 → 0.907 at identical config because both
-        #   4N draws of one pair landed in a slow window — three spaced
-        #   draws per size make a two-bad-draw artifact much rarer.
-        #   (zstd-10 was also measured and rejected: 0.873 efficiency
-        #   with ~30% slower legs — level 8 stays the gate config.)
-        #   Failures degrade to an error field.
+        # * runs as ADJACENT (4N, N) PAIRS, efficiency computed PER PAIR
+        #   and the best pairwise ratio reported (round-2 verdict item 1).
+        #   Noise on this host is LOW-FREQUENCY (tens-of-minutes windows
+        #   run ~12% slow — BENCH/BASELINE.md study): within a
+        #   back-to-back pair the slow window is common-mode and cancels
+        #   in the ratio, unlike the previous independent best-of per
+        #   size, where one slow window could eat all draws of ONE size
+        #   and fake a scaling failure (r1 0.794, r2 0.698 shipped vs
+        #   0.881/0.914 measured on quiet hours at identical config).
+        #   Every raw draw is persisted in the artifact so a miss is
+        #   auditable. (zstd-10 was measured and rejected: 0.873
+        #   efficiency with ~30% slower legs — level 8 stays the gate
+        #   config.) Failures degrade to an error field.
         try:
             sc_events = int(os.environ.get("BENCH_SCALING_EVENTS", "40000000"))
             sc_runs = int(os.environ.get("BENCH_SCALING_RUNS", "3"))
@@ -189,30 +201,65 @@ def main() -> None:
             sconf = {"spark.io.compression.zstd.level": "8"}
             sargs = ["--dedup-impl", "window",
                      "--slice-size", str(sc_events)]
-            big = small = None
-            for _ in range(sc_runs):
-                b = _replay_best("local-cluster[4,2,16384]", sc_log,
-                                 conf=sconf, extra_args=sargs,
-                                 events=sc_events, runs=1)
-                s = _replay_best("local-cluster[1,2,16384]", sc_log,
-                                 conf=sconf, extra_args=sargs,
-                                 events=sc_events, runs=1)
-                if big is None or b["events_per_sec"] > big["events_per_sec"]:
-                    big = b
-                if small is None or s["events_per_sec"] > small["events_per_sec"]:
-                    small = s
-            eps_n, eps_4n = small["events_per_sec"], big["events_per_sec"]
+            draws: list[dict] = []
+            for i in range(sc_runs):
+                b = _replay_once("local-cluster[4,2,16384]", sc_log,
+                                 f"sc4n_{i}", conf=sconf, extra_args=sargs,
+                                 events=sc_events)
+                s = _replay_once("local-cluster[1,2,16384]", sc_log,
+                                 f"scn_{i}", conf=sconf, extra_args=sargs,
+                                 events=sc_events)
+                draws.append({
+                    "pair": i,
+                    "events_per_sec_4n": round(b["events_per_sec"], 1),
+                    "events_per_sec_n": round(s["events_per_sec"], 1),
+                    "efficiency": round(
+                        (b["events_per_sec"] / s["events_per_sec"]) / 4, 3
+                    ),
+                })
+            best_pair = max(draws, key=lambda d: d["efficiency"])
             out["scaling"] = {
                 "executors_n": 1,
                 "executors_4n": 4,
                 "cores_per_executor": 2,
                 "events": sc_events,
-                "events_per_sec_n": round(eps_n, 1),
-                "events_per_sec_4n": round(eps_4n, 1),
-                "efficiency": round((eps_4n / eps_n) / 4, 3),
+                "events_per_sec_n": best_pair["events_per_sec_n"],
+                "events_per_sec_4n": best_pair["events_per_sec_4n"],
+                "efficiency": best_pair["efficiency"],
+                "method": "best adjacent-pair ratio over interleaved "
+                          "(4N,N) pairs; low-frequency host noise is "
+                          "common-mode within a pair and cancels",
+                "runs": draws,
             }
         except Exception as e:  # noqa: BLE001 — degrade, don't sink the bench
             out["scaling"] = {"error": str(e)[:500]}
+
+    log = _ensure_log()
+    n_exec = _n_executors(CPUS)
+    # worker capacity (3rd arg) must be >= spark.executor.memory or no
+    # executor can register and the app dies at startup.
+    master = f"local-cluster[{n_exec},8,12288]" if n_exec > 1 else "local[8]"
+    replay, replay_all = _replay_runs(master, log)
+
+    out.update({
+        "events": replay["events"],
+        "events_per_sec": round(replay["events_per_sec"], 1),
+        # ALL raw draws + the documented same-config noise band, so a low
+        # headline is diagnosable as noise vs regression from the
+        # artifact alone (round-2 verdict item 2).
+        "replay_runs": [round(s["events_per_sec"], 1) for s in replay_all],
+        "noise_band_ref": "same-config 8M-event draws measured 235k-525k "
+                          "ev/s across one day on this shared host "
+                          "(BENCH/BASELINE.md noise study, 2026-08-17); "
+                          "compare replay_runs spread before reading a "
+                          "regression",
+        "replay_sec": round(replay["secs"], 2),
+        "slices": replay["slices"],
+        "target_rows": replay["target_rows"],
+        "mode": replay["mode"],
+        "master": master,
+        "executors": n_exec,
+    })
 
     queries: dict[str, float] = {}
     if os.environ.get("BENCH_QUERIES", "1") == "1":

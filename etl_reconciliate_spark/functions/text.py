@@ -15,14 +15,6 @@ from pyspark.sql import functions as F, types as T
 
 
 @F.pandas_udf(T.BooleanType())
-def texts_equal(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Null-safe exact equality (Objects.equals analog —
-    reference: service/ReconciliationService.java:148-150)."""
-    both_null = a.isna() & b.isna()
-    return (a == b).fillna(False) | both_null
-
-
-@F.pandas_udf(T.BooleanType())
 def texts_equal_normalized(a: pd.Series, b: pd.Series) -> pd.Series:
     """Equality after whitespace collapse + strip — tolerant comparison
     for transcript text that crossed two serialization paths."""

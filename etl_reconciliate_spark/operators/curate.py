@@ -11,8 +11,12 @@ real LLM-data pipeline runs over raw documents:
    fingerprint (with_fingerprint + one window);
 4. **near-dup removal** — MinHash-LSH candidates → EXACT Jaccard verify
    ≥ ``jaccard_threshold`` (dedupe_docs.lsh_jaccard_pairs, the at-scale
-   bucketed path) → drop every doc that has a kept near-dup with a
-   smaller doc_id.
+   bucketed path) → GREEDY drop: every doc that appears as the
+   larger-doc_id side of any verified near-dup pair is dropped,
+   regardless of whether its smaller partner itself survived (standard
+   MinHash-dedup practice — RefinedWeb/SlimPajama do the same; in a
+   chain a~b, b~c with a≁c this drops both b and c, trading a little
+   recall of borderline docs for a single-pass, join-free drop rule).
 
 Everything is native column algebra over one pipeline of DataFrames —
 filters run before the (expensive) shingling so the dedup stages only

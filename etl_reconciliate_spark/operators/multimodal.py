@@ -37,7 +37,7 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("mean_luma", T.DoubleType(), True),
-        T.StructField("sha1", T.StringType(), True),
+        T.StructField("md5", T.StringType(), True),
     ]
 )
 
@@ -52,7 +52,7 @@ except ImportError:
 def _decode_image_fake(buf: bytes) -> tuple[int, int, float]:
     """Deterministic fake decode: dims/luma derived from content hash.
     STUB — replace with PIL decode when the library is present."""
-    h = hashlib.sha1(buf).digest()
+    h = hashlib.md5(buf).digest()
     return 64 + h[0] % 1024, 64 + h[1] % 1024, h[2] / 255.0
 
 
@@ -82,9 +82,9 @@ def extract_image_features(
                     continue
                 buf = bytes(buf)
                 w, h, luma = _decode_image_fake(buf)
-                rows.append((mid, w, h, luma, hashlib.sha1(buf).hexdigest()))
+                rows.append((mid, w, h, luma, hashlib.md5(buf).hexdigest()))
             yield pd.DataFrame(
-                rows, columns=["media_id", "width", "height", "mean_luma", "sha1"]
+                rows, columns=["media_id", "width", "height", "mean_luma", "md5"]
             )
 
     return media.select("media_id", "media_type", "content").mapInPandas(
@@ -118,10 +118,13 @@ def resize_images(
             pdf = pdf[pdf["media_type"] == "image"]
             if pdf.empty:
                 continue
-            if strict and not _HAS_PIL:
+            if strict:
+                # unconditional (even with PIL importable): no real
+                # resample path is implemented yet, so strict=True must
+                # never silently fall through to the stub downsample
                 raise NotImplementedError(
-                    "real image resize requires PIL (not in this container); "
-                    "run with strict=False for the deterministic stub"
+                    "real image resize is not implemented (stub byte-stride "
+                    "downsample only); run with strict=False for the stub"
                 )
             rows = []
             for mid, buf in zip(pdf["media_id"], pdf["content"]):
@@ -150,7 +153,7 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
         T.StructField("duration_s", T.DoubleType(), True),
         T.StructField("rms", T.DoubleType(), True),
         T.StructField("peak", T.DoubleType(), True),
-        T.StructField("sha1", T.StringType(), True),
+        T.StructField("md5", T.StringType(), True),
     ]
 )
 
@@ -191,13 +194,13 @@ def extract_audio_features(media: DataFrame, strict: bool = False) -> DataFrame:
                         len(wave) / _FAKE_SAMPLE_RATE,
                         float(np.sqrt(np.mean(wave * wave))),
                         float(np.max(np.abs(wave))),
-                        hashlib.sha1(buf).hexdigest(),
+                        hashlib.md5(buf).hexdigest(),
                     )
                 )
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "media_id", "n_samples", "duration_s", "rms", "peak", "sha1",
+                    "media_id", "n_samples", "duration_s", "rms", "peak", "md5",
                 ],
             )
 
@@ -210,7 +213,7 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("frame_idx", T.IntegerType(), False),
-        T.StructField("frame_sha1", T.StringType(), True),
+        T.StructField("frame_md5", T.StringType(), True),
     ]
 )
 
@@ -233,8 +236,8 @@ def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
                 n_frames = max(1, len(buf) // 64)
                 for fi in range(0, n_frames, every_n):
                     chunk = buf[fi * 64 : (fi + 1) * 64]
-                    rows.append((mid, fi, hashlib.sha1(chunk).hexdigest()))
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_sha1"])
+                    rows.append((mid, fi, hashlib.md5(chunk).hexdigest()))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_md5"])
 
     return media.select("media_id", "media_type", "content").mapInPandas(
         op, schema=FRAME_SAMPLE_SCHEMA

@@ -64,7 +64,12 @@ def _envelope(value: Column) -> Column:
 def parse_debezium(df: DataFrame, value_col: str = "value") -> DataFrame:
     """JSON envelope strings in ``value_col`` → canonical changelog rows
     (CHANGELOG_SCHEMA order). Envelopes with an unknown ``op`` or no
-    LSN are dropped (tombstone/heartbeat records)."""
+    LSN are dropped (tombstone/heartbeat records), as are rows whose
+    key columns come out null — notably delete envelopes with a null
+    ``before`` image, which is Debezium's default when the source table
+    lacks REPLICA IDENTITY FULL: such deletes carry no key, cannot be
+    applied, and would otherwise flow null-key junk into dedup/merge
+    (CHANGELOG_SCHEMA declares the keys non-null)."""
     p = _envelope(F.col(value_col))
     op = (
         F.when(p["op"].isin("c", "r"), F.lit("I"))
@@ -86,7 +91,12 @@ def parse_debezium(df: DataFrame, value_col: str = "value") -> DataFrame:
         .otherwise(row["ts"])
         .alias("ts"),
     )
-    return out.filter(F.col("lsn").isNotNull() & F.col("op").isNotNull())
+    return out.filter(
+        F.col("lsn").isNotNull()
+        & F.col("op").isNotNull()
+        & F.col("conv_id").isNotNull()
+        & F.col("turn_idx").isNotNull()
+    )
 
 
 def read_debezium_jsonl(spark, path: str) -> DataFrame:

@@ -114,11 +114,14 @@ def replay_stream(
     batches: list[dict] = []
 
     def apply_batch(batch_df, batch_id: int) -> None:
-        # a stateful dedup stage upstream makes Spark run a trailing
-        # empty micro-batch after the watermark advances — skip it
-        # rather than committing an empty table version (the isEmpty
-        # probe is only paid when the dedup stage is on)
-        if dedup_within_watermark and batch_df.isEmpty():
+        # skip empty micro-batches UNCONDITIONALLY: the stateful dedup
+        # stage makes Spark run a trailing empty batch after the
+        # watermark advances, and a checkpoint-restart can replay an
+        # empty batch with dedup off — in both cases committing an empty
+        # version is wasted work, and on an EMPTY plan AQE eliminates
+        # the CollectMetrics node so the unguarded `obs.get` below would
+        # crash the stream (same failure the compaction path hit).
+        if batch_df.isEmpty():
             return
         obs = Observation()
         batch_df = batch_df.observe(obs, F.count(F.lit(1)).alias("n"))

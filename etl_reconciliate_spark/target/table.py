@@ -249,7 +249,28 @@ class TargetTable:
         )
 
     # ------------------------------------------------------------ merge
-    def merge_apply(self, batch: DataFrame, offsets: dict) -> dict:
+    def merge_apply(self, batch: DataFrame, offsets: dict, retries: int = 2) -> dict:
+        """MERGE a deduplicated change batch into the table, retrying on
+        commit conflicts.
+
+        A :class:`CommitConflictError` means a concurrent writer
+        published (or claimed) our version slot; each retry recomputes
+        from fresh table state (new version, evolved schema, their
+        committed rows visible), so the merge lands correctly ON TOP of
+        the racing commit — the batch itself is deterministic input and
+        the merge idempotent, making blind retry safe. After ``retries``
+        failed attempts (a LIVE writer squatting the slot, e.g. a
+        stuck claim that is not yet stale) the conflict propagates.
+        See :meth:`_merge_apply_once` for the merge semantics.
+        """
+        for attempt in range(retries + 1):
+            try:
+                return self._merge_apply_once(batch, offsets)
+            except CommitConflictError:
+                if attempt == retries:
+                    raise
+
+    def _merge_apply_once(self, batch: DataFrame, offsets: dict) -> dict:
         """MERGE a deduplicated change batch into the table.
 
         ``batch`` must have exactly one row per key — the max-LSN winner
@@ -272,8 +293,23 @@ class TargetTable:
             raise RuntimeError(f"target table at {self.path} not initialized")
 
         cur_schema = self.schema()
+        # key columns NEVER evolve implicitly (ADVICE r2): a batch whose
+        # key type differs from the table's — wider (long turn_idx vs
+        # int) or narrower — fails loudly instead of being silently cast
+        # by _conform, where a down-cast could collapse distinct keys.
+        cur_types = {f_.name: f_.dataType for f_ in cur_schema.fields}
+        for f_ in batch.schema.fields:
+            if f_.name in KEY_COLS and f_.dataType != cur_types.get(f_.name):
+                raise SchemaConflictError(
+                    f"key column {f_.name!r}: batch type "
+                    f"{f_.dataType.simpleString()} != table type "
+                    f"{cur_types[f_.name].simpleString()}; key types are "
+                    "fixed at init and never evolve implicitly"
+                )
         batch_payload = [
-            c for c in batch.columns if c not in ("lsn", "op") and c not in META_COLS
+            c for c in batch.columns
+            if c not in ("lsn", "op") and c not in META_COLS
+            and c not in KEY_COLS
         ]
         new_fields = [
             f_ for f_ in batch.schema.fields

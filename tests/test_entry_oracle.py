@@ -93,10 +93,9 @@ def test_entry_smoke(spark):
 
 
 def test_rows_only_queries(spark):
-    for name in (
-        "ann_lsh_topk", "ann_ivf_topk",
-        "multimodal_image_features", "multimodal_video_frames",
-        "multimodal_audio_features",
-    ):
+    # only the two approximate-ANN entries remain rows-only (recall is
+    # pytest-gated in test_similarity.py); the multimodal family is
+    # value-oracled since the md5 stub switch (r2 verdict item 3)
+    for name in ("ann_lsh_topk", "ann_ivf_topk"):
         df = entry_mod.queries()[name](spark, SF_DIR)
         assert df.count() > 0, name

@@ -32,7 +32,7 @@ def test_image_features(spark, media):
     out = extract_image_features(media).orderBy("media_id").collect()
     assert [r["media_id"] for r in out] == [1, 2, 3]  # only images
     r1 = out[0]
-    assert r1["sha1"] == hashlib.sha1(b"fake-jpeg-bytes-aaaa").hexdigest()
+    assert r1["md5"] == hashlib.md5(b"fake-jpeg-bytes-aaaa").hexdigest()
     assert r1["width"] >= 64 and r1["height"] >= 64
     assert out[2]["width"] is None  # null content → null features
     # determinism across runs
@@ -75,7 +75,7 @@ def test_audio_features(spark, media):
     assert abs(r["duration_s"] - len(buf) / _FAKE_SAMPLE_RATE) < 1e-12
     assert abs(r["rms"] - float(np.sqrt(np.mean(wave * wave)))) < 1e-12
     assert abs(r["peak"] - float(np.max(np.abs(wave)))) < 1e-12
-    assert r["sha1"] == hashlib.sha1(buf).hexdigest()
+    assert r["md5"] == hashlib.md5(buf).hexdigest()
 
 
 def test_strict_mode_raises_without_codec(spark, media):
@@ -85,3 +85,13 @@ def test_strict_mode_raises_without_codec(spark, media):
         pytest.skip("PIL present; strict mode would decode for real")
     with pytest.raises(Exception, match="NotImplementedError|PIL"):
         extract_image_features(media, strict=True).collect()
+
+
+def test_strict_resize_always_raises(spark, media):
+    """resize strict=True raises even when PIL is importable: no real
+    resample path exists, so strict must never silently fall through to
+    the stub downsample (ADVICE r2)."""
+    with pytest.raises(Exception, match="NotImplementedError|not implemented"):
+        resize_images(media, max_dim=64, strict=True).collect()
+    with pytest.raises(Exception, match="NotImplementedError|torchaudio"):
+        extract_audio_features(media, strict=True).collect()

@@ -1,5 +1,5 @@
-"""Transcript reconciliation: classification, Arrow text compare,
-salted hot-key path equivalence, conversation rollup."""
+"""Transcript reconciliation: classification, native-vs-Arrow text
+compare paths, salted hot-key path equivalence, conversation rollup."""
 
 import datetime
 
@@ -67,6 +67,44 @@ def test_classification(spark, frames):
     assert rows[("c5", 0)] == "TARGET_ONLY"
     assert rows[("c3", 1)] == "VALUE_DISCREPANCY"
     assert rows[("c4", 0)] == "MATCH"  # null == null (null-safe)
+
+
+def test_default_compare_is_native(spark, frames):
+    """The default exact comparison must stay JVM-side: no Arrow/Python
+    eval node in the plan (round-2 verdict item 3 — the Arrow round trip
+    is pure serialization tax on plain equality at 100 TB)."""
+    src, tgt = frames
+    plan = reconcile(src, tgt)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_normalized_comparator_uses_arrow_and_normalizes(spark):
+    """The opt-in normalized comparator routes through the Arrow UDF
+    (the BASELINE Arrow mandate where builtins can't express the
+    comparison) and treats whitespace-variant texts as MATCH."""
+    src = _df(spark, [("c1", 0, "hello   world "), ("c1", 1, "a")])
+    tgt = _df(spark, [("c1", 0, "hello world"), ("c1", 1, "b")])
+    rec = reconcile(src, tgt, comparator="normalized")
+    plan = rec._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert _counts(rec) == {"MATCH": 1, "VALUE_DISCREPANCY": 1}
+    # exact comparator sees the same pair as a discrepancy
+    assert _counts(reconcile(src, tgt)) == {"VALUE_DISCREPANCY": 2}
+
+
+def test_callable_comparator(spark):
+    """A custom (Column, Column) -> Column comparator is honored —
+    here: similarity-threshold matching via the Arrow similarity UDF."""
+    from etl_reconciliate_spark.functions.text import text_similarity
+
+    src = _df(spark, [("c1", 0, "abcdefgh"), ("c1", 1, "xy")])
+    tgt = _df(spark, [("c1", 0, "abcdefzz"), ("c1", 1, "qq")])
+    rec = reconcile(
+        src, tgt, comparator=lambda a, b: text_similarity(a, b) >= 0.5
+    )
+    rows = {(r["conv_id"], r["turn_idx"]): r["status"] for r in rec.collect()}
+    assert rows[("c1", 0)] == "MATCH"  # 6/8 common prefix
+    assert rows[("c1", 1)] == "VALUE_DISCREPANCY"
 
 
 def test_deterministic_set_sorted_at_boundary(spark, frames):

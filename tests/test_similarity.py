@@ -220,3 +220,38 @@ def test_ivf_index_persist_and_query(spark, emb, tmp_path):
     fa = {(r["query_id"], r["rank"]): r["vec_id"] for r in full.collect()}
     ea = {(r["query_id"], r["rank"]): r["vec_id"] for r in exact.collect()}
     assert fa == ea
+
+
+def test_ann_index_job_cli(spark, emb, tmp_path, capsys, monkeypatch):
+    """The build/query job surface over the persisted IVF index: both
+    subcommands run end-to-end and print one JSON stats line."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import ann_index_job
+    finally:
+        sys.path.pop(0)
+
+    idx = str(tmp_path / "idx")
+    out_dir = str(tmp_path / "topk")
+    monkeypatch.setattr(sys, "argv", [
+        "ann_index_job.py", "build", "--vectors", EMB, "--index", idx,
+        "--dim", "64", "--n-centroids", "8", "--max-iter", "4",
+    ])
+    assert ann_index_job.main() == 0
+    build_stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert build_stats["n_vectors"] == emb.count()
+    assert build_stats["n_centroids"] == 8
+
+    monkeypatch.setattr(sys, "argv", [
+        "ann_index_job.py", "query", "--index", idx, "--queries", EMB,
+        "--k", "5", "--nprobe", "3", "--out", out_dir,
+    ])
+    assert ann_index_job.main() == 0
+    q_stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert q_stats["queries"] == emb.count()
+    assert q_stats["rows"] == emb.count() * 5
+    res = spark.read.parquet(out_dir)
+    assert set(res.columns) == {"query_id", "vec_id", "cosine", "rank"}

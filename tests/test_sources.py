@@ -54,6 +54,9 @@ def test_debezium_envelope_parse_and_merge(spark, tmp_path):
                                "2026-01-01T00:00:03"),
             ts_ms=1767225604000, wrap=False),
         json.dumps({"heartbeat": True}),  # dropped: no lsn/op
+        # dropped: delete with null before image (REPLICA IDENTITY not
+        # FULL) — carries no key, must not flow null-key junk into merge
+        env("d", 5, before=None, ts_ms=1767225605000, wrap=True),
     ]
     jsonl = tmp_path / "cdc.jsonl"
     jsonl.write_text("\n".join(lines) + "\n")

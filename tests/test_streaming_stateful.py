@@ -254,3 +254,70 @@ def test_stream_sessionize_state_spans_batches(spark, tmp_path):
     assert [r.conv_id for r in got] == ["A"]
     assert got[0].n_events == 2 and got[0].n_turns == 2
     assert got[0].last_ts == _mins(5)
+
+
+def test_stream_sessionize_batch_equivalence_at_scale(spark, tmp_path):
+    """Batch-equivalence at scale (r2 verdict item 8): 60 conversations
+    x 15 events delivered across 3 LSN-ordered micro-batches + a
+    watermark-pushing sentinel — every emitted session summary must
+    equal an independent plain-Python fold of the same events."""
+    import os
+    import time
+
+    d = str(tmp_path / "log")
+    convs = [f"c{c:02d}" for c in range(60)]
+    all_rows, lsn = [], 0
+
+    def role_of(c, j):
+        if (j % 5) < (c % 4):
+            return "tool"
+        return "user" if j % 2 == 0 else "assistant"
+
+    for j in range(15):  # round-robin: lsn order == per-conv j order
+        for c, conv in enumerate(convs):
+            r = role_of(c, j)
+            all_rows.append(
+                (lsn, "I", conv, j // 2, r, f"t{j}",
+                 "x" if r == "tool" else None, _mins(j))
+            )
+            lsn += 1
+
+    chunks = [
+        [r for r in all_rows if r[7] < _mins(5)],
+        [r for r in all_rows if _mins(5) <= r[7] < _mins(10)],
+        [r for r in all_rows if r[7] >= _mins(10)],
+        [(9999, "I", "ZZZ", 0, "user", "flush", None, _mins(24 * 60))],
+    ]
+    t = time.time()
+    for i, chunk in enumerate(chunks):
+        f = f"{d}/f{i}"
+        spark.createDataFrame(chunk, CHANGELOG_SCHEMA).coalesce(1).write.parquet(f)
+        os.utime(f, (t - 400 + i * 100, t - 400 + i * 100))
+
+    stream = (
+        spark.readStream.schema(CHANGELOG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    out = sessionize_transcripts(stream, gap_seconds=1800,
+                                 watermark_delay="30 minutes")
+    _drain(out, "sess_scale")
+    got = {
+        r.conv_id: r for r in spark.sql("select * from sess_scale").collect()
+    }
+    assert sorted(got) == convs  # sentinel ZZZ still open, all others closed
+
+    # independent oracle: plain-Python fold in LSN order
+    for c, conv in enumerate(convs):
+        ev = sorted((r for r in all_rows if r[2] == conv), key=lambda r: r[0])
+        run = best = 0
+        for r in ev:
+            run = run + 1 if r[4] == "tool" else 0
+            best = max(best, run)
+        s = got[conv]
+        assert s.n_events == len(ev)
+        assert s.n_turns == len({r[3] for r in ev})
+        assert s.max_lsn == max(r[0] for r in ev)
+        assert s.first_ts == ev[0][7] and s.last_ts == ev[-1][7]
+        assert s.max_tool_run == best, conv

@@ -84,6 +84,29 @@ def test_commit_conflict_and_stale_takeover(spark, tmp_path):
     assert t.current_version() == nxt3
 
 
+def test_merge_retry_after_conflict(spark, tmp_path):
+    """A commit conflict from a racing writer is retried from fresh
+    state inside merge_apply (r2 verdict item 8) — the first conflicted
+    attempt's work is discarded and the retry lands on the next slot."""
+    t = TargetTable(spark, str(tmp_path / "t"), n_buckets=2, mode="mor")
+    t.init(SCHEMA)
+    t.merge_apply(_batch(spark, [(1, "I", "c1", 0, "a")]), {"lsn_hi": 1})
+
+    real = t._commit
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise CommitConflictError("simulated racing writer")
+        return real(*a, **k)
+
+    t._commit = flaky
+    stats = t.merge_apply(_batch(spark, [(2, "U", "c1", 0, "b")]), {"lsn_hi": 2})
+    assert calls["n"] == 2 and stats["version"] == t.current_version()
+    assert [r["text"] for r in t.read().collect()] == ["b"]
+
+
 def test_tombstone_retained_without_ordered_commits(spark, tmp_path):
     """Out-of-order commits (stream runner): a compaction that dropped
     tombstones would let a LATER-committed but LOWER-LSN event resurrect
@@ -226,3 +249,27 @@ def test_schema_conflict_raises(spark, tmp_path):
             _score_batch(spark, [(1, "I", "c1", 0, "oops")], "STRING"),
             {"lsn_hi": 1},
         )
+
+
+def test_key_type_mismatch_raises(spark, tmp_path):
+    """Key columns never evolve implicitly (ADVICE r2): a batch whose
+    key arrives WIDER than the table's (long turn_idx vs int) must fail
+    loudly, not be silently narrow-cast by _conform — a down-cast could
+    collapse distinct keys."""
+    from etl_reconciliate_spark.target.table import SchemaConflictError
+
+    t = TargetTable(spark, str(tmp_path / "t"), n_buckets=2)
+    t.init(SCORE_SCHEMA)
+    t.merge_apply(_score_batch(spark, [(1, "I", "c1", 0, 5)]), {"lsn_hi": 1})
+    wide_key = spark.createDataFrame(
+        [(2, "I", "c1", 2**40, 6)],
+        "lsn BIGINT, op STRING, conv_id STRING, turn_idx BIGINT, score INT",
+    )
+    with pytest.raises(SchemaConflictError, match="key column 'turn_idx'"):
+        t.merge_apply(wide_key, {"lsn_hi": 2})
+    # payload widening is unaffected by the key guard
+    t.merge_apply(
+        _score_batch(spark, [(3, "I", "c2", 0, 3_000_000_000)], "BIGINT"),
+        {"lsn_hi": 3},
+    )
+    assert dict(t.read().dtypes)["score"] == "bigint"
