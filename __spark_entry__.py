@@ -857,6 +857,33 @@ WHERE (0.0 + {dot}) / (sqrt(0.0 + {norm_a}) * sqrt(0.0 + {norm_b}))
 """
 
 
+def q_curate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding-level dedup curation: LSH-bucketed
+    near-dup detection → greedy larger-id drop → surviving vec_ids.
+    Exactly oracle-checked (deterministic planes + left-to-right folds)."""
+    from etl_reconciliate_spark.operators.curate import curate_embeddings
+
+    return curate_embeddings(
+        _t(spark, sf_dir, "embeddings"),
+        dim=DIM,
+        threshold=0.4,
+        n_bands=EMB_BANDS,
+        planes_per_band=EMB_PPB,
+    )
+
+
+def _sql_curate_embeddings() -> str:
+    # the pairs CTE is the (already oracle-green) banded sign-LSH SQL;
+    # the greedy drop removes every id_b, keeps everything else
+    return f"""
+WITH pairs AS ({_sql_embedding_lsh_near_dups()})
+SELECT e.vec_id
+FROM embeddings e
+LEFT JOIN (SELECT DISTINCT id_b FROM pairs) d ON d.id_b = e.vec_id
+WHERE d.id_b IS NULL
+"""
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-corpus curation pipeline (quality gate →
     language gate → exact dedup → LSH near-dup removal) — the whole
@@ -1238,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+        "curate_embeddings": q_curate_embeddings,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_image_features": q_multimodal_image_features,
@@ -1283,6 +1311,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _sql_cosine_topk(),
         "embedding_near_dups": _sql_embedding_near_dups(),
         "embedding_near_dups_lsh": _sql_embedding_lsh_near_dups(),
+        "curate_embeddings": _sql_curate_embeddings(),
         "multimodal_image_features": SQL_MM_IMAGE,
         "multimodal_video_frames": SQL_MM_VIDEO,
         "multimodal_audio_features": SQL_MM_AUDIO,

@@ -92,6 +92,44 @@ def curate_corpus(
     )
 
 
+def curate_embeddings(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_bands: int = 4,
+    planes_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level (semantic) dedup curation, SemDeDup-style: drop
+    every vector that has a near-duplicate with a smaller id, keep the
+    rest.
+
+    Where SemDeDup (Abbas et al. 2023) prunes within k-means clusters,
+    this uses the deterministic banded sign-LSH buckets
+    (``dedupe_docs.embedding_lsh_near_dup_pairs``) as the candidate
+    neighborhoods — the same scan-fraction economics (candidate pairs ∝
+    bucket collisions, never n²) with the added property that the whole
+    operator is exactly reproducible by an oracle engine: the planes are
+    driver-side literals and the cosine folds left-to-right.
+
+    Drop rule is the same GREEDY larger-id drop as :func:`curate_corpus`
+    stage 4 (every ``id_b`` of a verified pair is dropped regardless of
+    whether its smaller partner survived — standard MinHash/SemDeDup
+    dedup practice). Returns the surviving ids: one ``id_col`` column.
+    """
+    from etl_reconciliate_spark.operators.dedupe_docs import (
+        embedding_lsh_near_dup_pairs,
+    )
+
+    pairs = embedding_lsh_near_dup_pairs(
+        emb, dim=dim, threshold=threshold, n_bands=n_bands,
+        planes_per_band=planes_per_band, id_col=id_col, vec_col=vec_col,
+    )
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return emb.select(id_col).join(drops, id_col, "left_anti")
+
+
 def curation_stats(
     docs: DataFrame, curated: DataFrame
 ) -> DataFrame:

@@ -33,6 +33,11 @@ def main() -> int:
     ap.add_argument("--target", required=True)
     ap.add_argument("--salts", type=int, default=8)
     ap.add_argument("--hot-threshold", type=int, default=100_000)
+    ap.add_argument("--comparator", choices=["exact", "normalized"],
+                    default="exact",
+                    help="text equality: 'exact' = native eqNullSafe "
+                         "(codegen, default); 'normalized' = Arrow-UDF "
+                         "whitespace-normalized equality")
     ap.add_argument("--results-dir", default=None,
                     help="persist row-level recon results (parquet, "
                          "partitioned by status) and the per-conversation "
@@ -67,7 +72,8 @@ def main() -> int:
     target = TargetTable(spark, args.target).read()
 
     recon = reconcile(
-        source, target, n_salts=args.salts, hot_threshold=args.hot_threshold
+        source, target, n_salts=args.salts, hot_threshold=args.hot_threshold,
+        comparator=args.comparator,
     )
     out: dict = {}
 

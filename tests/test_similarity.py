@@ -255,3 +255,34 @@ def test_ann_index_job_cli(spark, emb, tmp_path, capsys, monkeypatch):
     assert q_stats["rows"] == emb.count() * 5
     res = spark.read.parquet(out_dir)
     assert set(res.columns) == {"query_id", "vec_id", "cosine", "rank"}
+
+
+def test_curate_embeddings_greedy_drop(spark):
+    """Embedding-level dedup curation: identical vectors collapse to the
+    smallest id; the kept set is exactly all ids minus every larger-id
+    side of a verified near-dup pair (greedy drop, curate.py semantics)."""
+    from etl_reconciliate_spark.operators.curate import curate_embeddings
+    from etl_reconciliate_spark.operators.dedupe_docs import (
+        embedding_lsh_near_dup_pairs,
+    )
+
+    base = [1.0, 0.5, -0.25, 0.75, -1.0, 0.1, 0.3, -0.6]
+    other = [-0.8, 0.2, 0.9, -0.1, 0.4, -0.7, 0.05, 0.55]
+    rows = [(0, base), (1, base), (2, base), (3, other), (4, [0.0] * 8)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    kept = {
+        r["vec_id"]
+        for r in curate_embeddings(
+            emb, dim=8, threshold=0.95, n_bands=2, planes_per_band=4
+        ).collect()
+    }
+    # duplicates of vec 0 drop; the unrelated vector and the zero vector stay
+    assert {3, 4} <= kept and 0 in kept and not {1, 2} & kept
+
+    pairs = embedding_lsh_near_dup_pairs(
+        emb, dim=8, threshold=0.95, n_bands=2, planes_per_band=4
+    )
+    dropped = {r["id_b"] for r in pairs.collect()}
+    assert kept == {r[0] for r in rows} - dropped
