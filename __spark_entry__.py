@@ -959,6 +959,121 @@ WHERE drops.doc_b IS NULL
 """
 
 
+# =====================================================================
+# Corpus-preparation ops (operators/corpus.py): deterministic splits,
+# GPT-style sequence packing, benchmark decontamination — all exactly
+# oracle-checked via the portable hash32.
+# =====================================================================
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_reconciliate_spark.operators.corpus import split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return split_assign(docs, seed=7).select("doc_id", "split")
+
+
+def _sql_corpus_split(seed: int = 7) -> str:
+    from etl_reconciliate_spark.functions.hashing import hash32_sql
+
+    bucket = f"({hash32_sql('doc_id', seed)} % 10000)"
+    return f"""
+SELECT doc_id,
+  CASE WHEN {bucket} < 9800 THEN 'train'
+       WHEN {bucket} < 9900 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+
+PACK_BUDGET = 512
+PACK_SHARDS = 8
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_reconciliate_spark.operators.corpus import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"),
+        budget_tokens=PACK_BUDGET,
+        n_shards=PACK_SHARDS,
+    )
+
+
+def _sql_pack_sequences() -> str:
+    from etl_reconciliate_spark.functions.hashing import hash32_sql
+
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+         ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+')) END
+      AS n_tokens,
+    CAST({hash32_sql('doc_id')} % {PACK_SHARDS} AS INT) AS shard
+  FROM documents
+)
+SELECT doc_id, n_tokens, shard,
+  SUM(n_tokens) OVER w - n_tokens AS start_offset,
+  CAST(floor((SUM(n_tokens) OVER w - n_tokens) / {PACK_BUDGET}) AS BIGINT)
+    AS seq_id
+FROM d
+WINDOW w AS (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+"""
+
+
+def q_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: documents with doc_id % 10 == 0 stand
+    in for the eval suite; flag train docs sharing >= 30% of their
+    8-gram shingles with any benchmark doc."""
+    from etl_reconciliate_spark.operators.corpus import contamination_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_pairs(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        k=8,
+        min_overlap_frac=0.3,
+    )
+
+
+SQL_CONTAMINATION = r"""
+WITH tn AS (
+  SELECT doc_id,
+    lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))) AS t
+  FROM documents WHERE doc_id % 10 != 0
+),
+bn AS (
+  SELECT doc_id,
+    lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))) AS t
+  FROM documents WHERE doc_id % 10 = 0
+),
+tsh AS (
+  SELECT DISTINCT tn.doc_id AS train_id,
+         substr(tn.t, CAST(gs.i AS INT), 8) AS shingle
+  FROM tn, LATERAL (
+    SELECT unnest(generate_series(1, greatest(length(tn.t) - 7, 1))) AS i
+  ) gs
+  WHERE length(substr(tn.t, CAST(gs.i AS INT), 8)) > 0
+),
+bsh AS (
+  SELECT DISTINCT bn.doc_id AS bench_id,
+         substr(bn.t, CAST(gs.i AS INT), 8) AS shingle
+  FROM bn, LATERAL (
+    SELECT unnest(generate_series(1, greatest(length(bn.t) - 7, 1))) AS i
+  ) gs
+  WHERE length(substr(bn.t, CAST(gs.i AS INT), 8)) > 0
+),
+sizes AS (SELECT train_id, COUNT(*) AS n_train_sh FROM tsh GROUP BY train_id),
+common AS (
+  SELECT train_id, bench_id, COUNT(*) AS n_common_shingles
+  FROM tsh JOIN bsh USING (shingle)
+  GROUP BY train_id, bench_id
+)
+SELECT c.train_id, c.bench_id, c.n_common_shingles,
+       c.n_common_shingles / CAST(s.n_train_sh AS DOUBLE) AS overlap_frac
+FROM common c JOIN sizes s ON s.train_id = c.train_id
+WHERE c.n_common_shingles / CAST(s.n_train_sh AS DOUBLE) >= 0.3
+"""
+
+
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_reconciliate_spark.operators.textstats import bpe_ish_token_count
 
@@ -1262,6 +1377,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "bpe_token_count": q_bpe_token_count,
+        "corpus_split": q_corpus_split,
+        "pack_sequences": q_pack_sequences,
+        "contamination_pairs": q_contamination_pairs,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
@@ -1308,6 +1426,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),
         "bpe_token_count": SQL_BPE_TOKENS,
+        "corpus_split": _sql_corpus_split(),
+        "pack_sequences": _sql_pack_sequences(),
+        "contamination_pairs": SQL_CONTAMINATION,
         "cosine_topk": _sql_cosine_topk(),
         "embedding_near_dups": _sql_embedding_near_dups(),
         "embedding_near_dups_lsh": _sql_embedding_lsh_near_dups(),

@@ -1,0 +1,147 @@
+"""Corpus-preparation operators: splits, packing, decontamination.
+
+The last mile of a training-data pipeline after curation
+(``operators.curate``): deterministic train/val/test assignment,
+GPT-style sequence packing, and benchmark decontamination. All three
+are pure column algebra / one-shuffle window shapes, and every hash is
+the portable ``functions.hashing.hash32`` — each operator is exactly
+value-checkable against a DuckDB oracle (``__spark_entry__``).
+
+reference: no equivalent exists in the reference app — this is the
+§"beyond the reference" training-data surface; semantics follow public
+pipeline practice (hash-based splits; GPT/Pile-style concat-and-chunk
+packing; n-gram-overlap decontamination a la GPT-3 appendix C /
+FLAN/OLMo decontamination).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from etl_reconciliate_spark.functions.hashing import hash32
+from etl_reconciliate_spark.operators.dedupe_docs import char_shingles
+from etl_reconciliate_spark.operators.textstats import token_count
+
+SPLIT_BUCKETS = 10_000
+
+
+def split_assign(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    seed: int = 7,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by id hash.
+
+    Membership depends ONLY on the document id (bucket =
+    ``hash32(id, seed) % 10000`` against cumulative weight thresholds),
+    never on corpus size or ordering — documents keep their split when
+    the corpus grows, shards can be assigned independently with no
+    shuffle, and the same id lands in the same split on every engine
+    (the portable hash makes the assignment oracle-checkable).
+    Appends a ``split`` column.
+    """
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    bucket = hash32(F.col(id_col), seed=seed) % SPLIT_BUCKETS
+    expr, cum = None, 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        bound = int(round(cum * SPLIT_BUCKETS))
+        branch = (
+            F.when(bucket < bound, F.lit(name)) if expr is None
+            else expr.when(bucket < bound, F.lit(name))
+        )
+        expr = branch
+    expr = expr.otherwise(F.lit(names[-1])) if expr is not None else F.lit(names[-1])
+    return docs.withColumn("split", expr)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int = 2048,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in order and
+    cut at fixed token budgets; each document is assigned to the
+    sequence its FIRST token lands in.
+
+    Packing is per-SHARD (``shard = hash32(id) % n_shards``), which is
+    the at-scale semantics: a global concatenation order would force a
+    single-partition window (one task sorts the whole corpus), while
+    per-shard packing is one shuffle on the shard key and every shard
+    packs independently — exactly how distributed training-data prep
+    shards its tokenizer output. Within a shard the order is ``id_col``
+    (deterministic). Returns (id, n_tokens, shard, start_offset,
+    seq_id): ``start_offset`` is the token offset of the document in
+    its shard's virtual concatenation, ``seq_id = start_offset //
+    budget_tokens``.
+    """
+    shard = (hash32(F.col(id_col)) % n_shards).cast("int")
+    d = docs.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        shard.alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return d.select(
+        id_col, "n_tokens", "shard",
+        start.alias("start_offset"),
+        F.floor(start / budget_tokens).cast("long").alias("seq_id"),
+    )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    min_overlap_frac: float = 0.3,
+) -> DataFrame:
+    """Benchmark-contamination detection: (train_id, bench_id,
+    n_common_shingles, overlap_frac) for every train document sharing at
+    least ``min_overlap_frac`` of its char-``k``-gram shingles with a
+    benchmark document (GPT-3-appendix-C-style n-gram decontamination).
+
+    The join is on the shingle value — candidate pairs ∝ shared
+    shingles, never |train| × |bench| — and the benchmark side of a real
+    run is small (eval suites), so Spark broadcasts it after the
+    aggregation; the train side streams through one shuffle.
+    """
+    t_sh = char_shingles(train, k).withColumnRenamed("doc_id", "train_id")
+    b_sh = char_shingles(benchmark, k).withColumnRenamed("doc_id", "bench_id")
+    t_sizes = t_sh.groupBy("train_id").agg(F.count(F.lit(1)).alias("n_train_sh"))
+    common = (
+        t_sh.join(b_sh, "shingle")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_common_shingles"))
+    )
+    return (
+        common.join(t_sizes, "train_id")
+        .withColumn(
+            "overlap_frac", F.col("n_common_shingles") / F.col("n_train_sh")
+        )
+        .filter(F.col("overlap_frac") >= min_overlap_frac)
+        .select("train_id", "bench_id", "n_common_shingles", "overlap_frac")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    min_overlap_frac: float = 0.3,
+) -> DataFrame:
+    """Drop every train document flagged by :func:`contamination_pairs`.
+    Returns the surviving train rows unchanged."""
+    flagged = contamination_pairs(
+        train, benchmark, k=k, min_overlap_frac=min_overlap_frac
+    ).select(F.col("train_id").alias("doc_id")).distinct()
+    return train.join(flagged, "doc_id", "left_anti")

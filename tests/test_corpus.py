@@ -1,0 +1,94 @@
+"""Corpus-preparation operators (operators/corpus.py): split stability,
+packing boundary semantics, decontamination. (The driver additionally
+value-checks all three against DuckDB oracles via __spark_entry__.)"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_reconciliate_spark.operators.corpus import (
+    contamination_pairs,
+    decontaminate,
+    pack_sequences,
+    split_assign,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS)
+
+
+def test_split_stable_under_corpus_growth(spark, docs):
+    """Hash-split membership depends only on the id: the assignment of
+    the first half of the corpus is unchanged when the second half is
+    added — the property that makes hash splits safe for growing
+    corpora (a row-number split would reshuffle everything)."""
+    half = docs.filter(F.col("doc_id") < 250)
+    a = {r["doc_id"]: r["split"] for r in split_assign(half).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(docs).filter(F.col("doc_id") < 250).collect()
+    }
+    assert a == b
+    full = {r["doc_id"]: r["split"] for r in split_assign(docs).collect()}
+    assert set(full.values()) == {"train", "val", "test"}
+    # ~98/1/1 at 500 docs: train dominates
+    assert sum(v == "train" for v in full.values()) > 450
+
+
+def test_split_weights_and_seed(spark, docs):
+    even = split_assign(docs, weights={"a": 0.5, "b": 0.5})
+    counts = {r["split"]: r["n"] for r in
+              even.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(counts["a"] - counts["b"]) < 100  # ~50/50 of 500
+    s1 = {r["doc_id"]: r["split"] for r in split_assign(docs, seed=1).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in split_assign(docs, seed=2).collect()}
+    assert s1 != s2  # different seeds → different assignment
+
+
+def test_pack_sequences_boundaries(spark):
+    """Within one shard, documents fill a sequence until the budget is
+    crossed; the next document starts the next sequence at the offset
+    where the previous ended."""
+    rows = [(i, " ".join(["w"] * n))
+            for i, n in [(0, 300), (1, 300), (2, 300), (3, 1500), (4, 10)]]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(docs, budget_tokens=512, n_shards=1).collect()
+    }
+    offs = [out[i]["start_offset"] for i in range(5)]
+    assert offs == [0, 300, 600, 900, 2400]  # cumulative token starts
+    assert [out[i]["seq_id"] for i in range(5)] == [0, 0, 1, 1, 4]
+    assert all(out[i]["shard"] == out[0]["shard"] for i in range(5))
+
+
+def test_pack_sequences_shards_pack_independently(spark, docs):
+    """Each shard's offsets start at 0 and are gap-free (sum of earlier
+    docs' tokens) — shards pack independently, no cross-shard window."""
+    out = pack_sequences(docs, budget_tokens=256, n_shards=4)
+    pdf = out.toPandas().sort_values(["shard", "doc_id"])
+    for _, grp in pdf.groupby("shard"):
+        expect = 0
+        for _, r in grp.iterrows():
+            assert r["start_offset"] == expect
+            expect += r["n_tokens"]
+
+
+def test_decontaminate_drops_flagged_only(spark, docs):
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    pairs = contamination_pairs(train, bench, k=8, min_overlap_frac=0.3)
+    flagged = {r["train_id"] for r in pairs.collect()}
+    assert flagged  # the corpus contains cross-split near-dups
+    clean = decontaminate(train, bench, k=8, min_overlap_frac=0.3)
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert kept == {r["doc_id"] for r in train.select("doc_id").collect()} - flagged
+    # an exact copy of a benchmark doc is always flagged
+    copy = bench.limit(1).withColumn("doc_id", F.lit(99_999).cast("long"))
+    pairs2 = contamination_pairs(
+        train.unionByName(copy), bench, k=8, min_overlap_frac=0.3
+    )
+    assert 99_999 in {r["train_id"] for r in pairs2.collect()}
