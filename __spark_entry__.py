@@ -1074,6 +1074,111 @@ WHERE c.n_common_shingles / CAST(s.n_train_sh AS DOUBLE) >= 0.3
 """
 
 
+# =====================================================================
+# Pipeline-hygiene ops: Gopher repetition metrics, PII scrub, mixture
+# sampling (operators/repetition.py, privacy.py, mixture.py). Line
+# structure / PII are injected DETERMINISTICALLY (identically on both
+# engines) because the synthetic corpus is single-line and PII-free —
+# the checks would otherwise be vacuous (round-1 lesson).
+# =====================================================================
+# newline after every 3 tokens → multi-line docs with plausible dup lines
+_REPETITION_LINES_PAT = r"((\S+\s+){3})"
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_reconciliate_spark.operators.repetition import with_repetition
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), _REPETITION_LINES_PAT, "$1\n"
+        ),
+    )
+    return with_repetition(docs)
+
+
+def _sql_text_repetition() -> str:
+    from etl_reconciliate_spark.operators.repetition import repetition_oracle_sql
+
+    src = (
+        "SELECT doc_id, regexp_replace(coalesce(text, ''), "
+        r"'((\S+\s+){3})', '\1' || chr(10), 'g') AS text FROM documents"
+    )
+    return repetition_oracle_sql(src)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_reconciliate_spark.operators.privacy import scrub_pii
+
+    d = F.col("doc_id")
+    injected = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                d % 7 == 0,
+                F.concat(F.lit(" contact user"), d.cast("string"),
+                         F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0,
+                F.concat(F.lit(" tel: 555-0199-"),
+                         F.lpad((d % 1000).cast("string"), 3, "0")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 9 == 0,
+                F.concat(F.lit(" ip 10.0."), (d % 256).cast("string"),
+                         F.lit("."), ((d * 7) % 256).cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 13 == 0,
+                F.concat(F.lit(" ssn 123-45-"),
+                         F.lpad((d % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return scrub_pii(injected)
+
+
+def _sql_pii_scrub() -> str:
+    from etl_reconciliate_spark.operators.privacy import pii_oracle_sql
+
+    src = """
+SELECT doc_id, coalesce(text, '')
+  || CASE WHEN doc_id % 7 = 0
+     THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+     ELSE '' END
+  || CASE WHEN doc_id % 5 = 0
+     THEN ' tel: 555-0199-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+     ELSE '' END
+  || CASE WHEN doc_id % 9 = 0
+     THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+          || CAST((doc_id * 7) % 256 AS VARCHAR)
+     ELSE '' END
+  || CASE WHEN doc_id % 13 = 0
+     THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+     ELSE '' END AS text
+FROM documents
+"""
+    return pii_oracle_sql(src)
+
+
+MIXTURE_RATES = {"src0": 0.5, "src1": 2.25, "src2": 0.0, "src3": 3.0}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_reconciliate_spark.operators.mixture import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return mixture_sample(docs, MIXTURE_RATES)
+
+
+def _sql_mixture_sample() -> str:
+    from etl_reconciliate_spark.operators.mixture import mixture_oracle_sql
+
+    return mixture_oracle_sql(MIXTURE_RATES)
+
+
 def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_reconciliate_spark.operators.textstats import bpe_ish_token_count
 
@@ -1380,6 +1485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "pack_sequences": q_pack_sequences,
         "contamination_pairs": q_contamination_pairs,
+        "text_repetition": q_text_repetition,
+        "pii_scrub": q_pii_scrub,
+        "mixture_sample": q_mixture_sample,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
@@ -1429,6 +1537,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_split": _sql_corpus_split(),
         "pack_sequences": _sql_pack_sequences(),
         "contamination_pairs": SQL_CONTAMINATION,
+        "text_repetition": _sql_text_repetition(),
+        "pii_scrub": _sql_pii_scrub(),
+        "mixture_sample": _sql_mixture_sample(),
         "cosine_topk": _sql_cosine_topk(),
         "embedding_near_dups": _sql_embedding_near_dups(),
         "embedding_near_dups_lsh": _sql_embedding_lsh_near_dups(),
