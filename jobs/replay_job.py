@@ -45,6 +45,11 @@ def main() -> int:
                     help="mor: fold deltas into the base every N commits")
     ap.add_argument("--dedup-impl", choices=["window", "agg"], default="agg",
                     help="max-LSN dedup: sort window or max_by aggregate")
+    ap.add_argument("--max-slices", type=int, default=None,
+                    help="stop after N slices (bounded partial replay — "
+                         "resume later from the committed offsets; also "
+                         "used by the scaling bench to replay an "
+                         "LSN-prefix of a shared log)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -71,6 +76,7 @@ def main() -> int:
         target_mode=args.target_mode,
         compact_threshold=args.compact_every,
         dedup_impl=args.dedup_impl,
+        max_slices=args.max_slices,
     )
     print(json.dumps(stats))
     return 0

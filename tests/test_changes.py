@@ -129,6 +129,41 @@ def test_changes_validation(spark, table):
         table.read_changes(0, 999)
 
 
+def test_changes_job_cli(spark, table, tmp_path, capsys, monkeypatch):
+    """The CDC-out job surface: bootstrap (missing cursor → full state
+    as inserts), then an incremental leg, cursor advancing each time."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import changes_job
+    finally:
+        sys.path.pop(0)
+
+    cursor = str(tmp_path / "cursor")
+    out = str(tmp_path / "changes")
+    monkeypatch.setattr(sys, "argv", [
+        "changes_job.py", "--target", table.path,
+        "--cursor-file", cursor, "--out", out,
+    ])
+    assert changes_job.main() == 0
+    boot = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert boot["counts"] == {"insert": 3}
+    assert int(open(cursor).read()) == table.current_version()
+    written = spark.read.parquet(boot["out"])
+    assert written.count() == 3 and "_change_type" in written.columns
+
+    table.merge_apply(
+        _batch(spark, [(4, "U", "c1", 0, "a2"), (5, "D", "c2", 0, None)]),
+        {"lsn_hi": 5},
+    )
+    assert changes_job.main() == 0
+    inc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert inc["counts"] == {"update": 1, "delete": 1}
+    assert int(open(cursor).read()) == table.current_version()
+
+
 def test_changes_update_then_delete_nets_to_delete(spark, table):
     """Multiple ops on one key inside the range net to ONE change row
     (max-LSN winner), exactly like the merge itself."""

@@ -77,6 +77,43 @@ def test_pack_sequences_shards_pack_independently(spark, docs):
             expect += r["n_tokens"]
 
 
+def test_corpus_job_cli(spark, docs, tmp_path, capsys, monkeypatch):
+    """End-to-end corpus-prep job: curate → decontaminate → split →
+    pack → (split, shard)-partitioned parquet + one JSON stats line."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import corpus_job
+    finally:
+        sys.path.pop(0)
+
+    bench_path = str(tmp_path / "bench")
+    docs.filter(F.col("doc_id") % 10 == 0).write.parquet(bench_path)
+    out = str(tmp_path / "corpus")
+    monkeypatch.setattr(sys, "argv", [
+        "corpus_job.py", "--docs", DOCS, "--out", out,
+        "--benchmark", bench_path, "--budget-tokens", "256", "--shards", "4",
+    ])
+    assert corpus_job.main() == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["docs_in"] == docs.count()
+    # every stage monotonically narrows the corpus (the synthetic corpus
+    # contains quality/lang rejects, near-dups, AND cross-split dups)
+    assert (stats["docs_in"] > stats["docs_curated"]
+            > stats["docs_after_decontamination"] > 0)
+    written = spark.read.parquet(out)
+    n_written = written.count()
+    assert n_written == stats["docs_after_decontamination"]
+    assert set(written.select("split").distinct().toPandas()["split"]) <= {
+        "train", "val", "test"}
+    total_tokens = sum(s["tokens"] for s in stats["splits"].values())
+    assert total_tokens == written.agg(F.sum("n_tokens")).collect()[0][0]
+    # partition layout: a training loader reads split=train/shard=k files
+    assert (tmp_path / "corpus" / "split=train" / "shard=0").exists()
+
+
 def test_decontaminate_drops_flagged_only(spark, docs):
     bench = docs.filter(F.col("doc_id") % 10 == 0)
     train = docs.filter(F.col("doc_id") % 10 != 0)
