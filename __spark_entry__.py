@@ -621,6 +621,55 @@ WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.3
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure dedup: LSH→exact-Jaccard pairs → connected
+    components (min-label propagation); every doc labeled with its
+    cluster representative. The DuckDB oracle computes the same
+    components with a recursive CTE — the iterative Spark loop and the
+    SQL fixpoint must agree on every label."""
+    from etl_reconciliate_spark.operators.dedupe_docs import dedup_clusters
+
+    return dedup_clusters(
+        _t(spark, sf_dir, "documents"),
+        k=8,
+        n_bands=N_BANDS,
+        rows_per_band=ROWS_PER_BAND,
+        threshold=0.3,
+    )
+
+
+def _sql_dedup_clusters() -> str:
+    return rf"""
+WITH RECURSIVE {_sql_lsh_cte()},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.3
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach AS (
+  SELECT doc_id AS src, doc_id AS node FROM documents
+  UNION
+  SELECT r.src, e.d AS node FROM reach r JOIN edges e ON e.s = r.node
+)
+SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_reconciliate_spark.operators.dedupe_docs import simhash
 
@@ -1478,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "curate_corpus": q_curate_corpus,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -1530,6 +1580,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
         "dedup_minhash_lsh": _sql_minhash(),
         "dedup_lsh_jaccard": _sql_lsh_jaccard(),
+        "dedup_clusters": _sql_dedup_clusters(),
         "curate_corpus": _sql_curate(),
         "simhash": _sql_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),

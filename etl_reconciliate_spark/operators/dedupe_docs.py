@@ -338,6 +338,96 @@ def embedding_near_dup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    ids: DataFrame | None = None,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: every node gets
+    ``cluster_id`` = the MIN id reachable through the pairs. This is the
+    transitive-closure dedup semantics — in a chain a~b, b~c (a≁c) all
+    three land in ONE cluster with representative ``a``, unlike the
+    greedy drop-all-doc_b rule (operators/curate.py) which cannot see
+    chains.
+
+    Algorithm: min-label propagation over symmetrized edges (the
+    MapReduce-CC setting of Rastogi et al.'s CC-MR / hash-to-min
+    family). Each round is one shuffle join (labels ⋈ edges) + one
+    map-side-combined ``min`` groupBy; the frontier DataFrame is
+    ``localCheckpoint``-ed every round so the plan does not grow with
+    the iteration count. Convergence in O(component diameter) rounds —
+    near-dup components at corpus scale are overwhelmingly tiny (LSH
+    candidates ∝ n_docs × n_bands, and a same-content cluster is a
+    clique, diameter 1), so 2-3 rounds is typical. Convergence is
+    detected via a monotone invariant: labels only ever decrease, so
+    ``sum(label)`` is strictly decreasing until the fixpoint — one tiny
+    aggregate per round, no row-level diff join.
+
+    ``pairs``   — (id_a, id_b) near-dup pairs, any orientation.
+    ``ids``     — optional one-column DataFrame of ALL node ids;
+                  unpaired ids come back as singleton clusters
+                  (cluster_id = their own id).
+    Returns (id, cluster_id), one row per node.
+    """
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    if ids is not None:
+        nodes = (
+            ids.select(F.col(ids.columns[0]).cast("long").alias("id"))
+            .distinct()
+            .unionByName(nodes)
+            .distinct()
+        )
+    labels = nodes.select("id", F.col("id").alias("cluster_id")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    for _ in range(max_iterations):
+        proposed = (
+            labels.join(edges, labels["id"] == edges["src"])
+            .select(F.col("dst").alias("id"), "cluster_id")
+        )
+        labels = (
+            labels.unionByName(proposed)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if new_sum == prev_sum:
+            return labels
+        prev_sum = new_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds"
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    k: int = 8,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cluster-level near-dup dedup: LSH→exact-Jaccard pairs
+    (:func:`lsh_jaccard_pairs`) → :func:`connected_components` → every
+    doc labeled with its cluster representative. Keep rule downstream:
+    ``doc_id == cluster_id`` retains exactly one doc per transitive
+    near-dup cluster (the min id), the semantics large-corpus dedup
+    pipelines standardize on.
+
+    Returns (doc_id, cluster_id) for EVERY doc (singletons included)."""
+    pairs = lsh_jaccard_pairs(docs, k, n_bands, rows_per_band, threshold)
+    return connected_components(
+        pairs.select("doc_a", "doc_b"), ids=docs.select("doc_id")
+    ).select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 def embedding_lsh_near_dup_pairs(
     emb: DataFrame,
     dim: int,

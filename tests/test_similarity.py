@@ -286,3 +286,56 @@ def test_curate_embeddings_greedy_drop(spark):
     )
     dropped = {r["id_b"] for r in pairs.collect()}
     assert kept == {r[0] for r in rows} - dropped
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """a~b, b~c with a!~c must land in ONE cluster (the transitive
+    semantics the greedy drop-all-doc_b rule misses); unpaired ids come
+    back as singletons."""
+    from etl_reconciliate_spark.operators.dedupe_docs import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(1, 13)], "doc_id long")
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(pairs, ids=ids).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+        **{i: i for i in (4, 5, 6, 7, 8, 9, 12)},
+    }
+
+
+def test_connected_components_path_graph_multi_round(spark):
+    """A 12-node path forces label propagation through ~11 rounds of the
+    fixpoint loop (worst-case diameter), and an iteration cap below the
+    diameter must raise instead of returning wrong labels."""
+    import pytest as _pytest
+
+    from etl_reconciliate_spark.operators.dedupe_docs import connected_components
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_a long, doc_b long"
+    )
+    got = {r["id"]: r["cluster_id"] for r in connected_components(path).collect()}
+    assert got == {i: 0 for i in range(12)}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path, max_iterations=3)
+
+
+def test_dedup_clusters_transitive_keep(spark, docs):
+    """dedup_clusters over the synthetic docs: 1~2 (near dup) and 1~3
+    (exact dup) form one cluster with representative 1; 4 and 5 stay
+    singletons. Keep rule doc_id == cluster_id retains {1, 4, 5}."""
+    from pyspark.sql import functions as F
+
+    from etl_reconciliate_spark.operators.dedupe_docs import dedup_clusters
+
+    out = dedup_clusters(docs, threshold=0.5)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+    kept = {r["doc_id"] for r in out.filter(
+        F.col("doc_id") == F.col("cluster_id")).collect()}
+    assert kept == {1, 4, 5}
