@@ -31,6 +31,7 @@ emulation approximates this by hash-clustering data files on the key.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -236,6 +237,107 @@ class TargetTable:
         if deltas:
             for d in deltas:
                 df = df.unionByName(self._read_padded(d, want))
+            w = Window.partitionBy(*KEY_COLS).orderBy(F.col(META_LSN).desc())
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        if include_meta:
+            return df.select([f_.name for f_ in want.fields] + META_COLS)
+        return df.filter(~F.coalesce(F.col(META_DELETED), F.lit(False))).select(
+            [f_.name for f_ in want.fields]
+        )
+
+    def read_keys(
+        self,
+        keys: list[tuple],
+        include_meta: bool = False,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Bucket-pruned point lookup: the rows for an explicit list of
+        ``(conv_id, turn_idx)`` keys, reading ONLY the parquet files
+        whose hash bucket can contain them.
+
+        Every snapshot/delta dir is written with
+        ``repartition(n_buckets, *KEY_COLS)`` — Spark's HashPartitioning
+        places a row in partition ``pmod(murmur3(keys), n_buckets)`` and
+        the ``part-NNNNN-*`` file prefix IS that partition index. The
+        same function is available as a Column (``pmod(hash(...), n)``),
+        so the reader computes each key's bucket with a literal-only
+        one-row job (no scan) and opens one file per (bucket, dir)
+        instead of the whole table: O(dirs × distinct_buckets) files —
+        at 10^10 rows a point lookup touches ``1 + n_deltas`` files, not
+        ``n_buckets × (1 + n_deltas)``. This is Iceberg's
+        bucket-transform partition pruning, driven from the commit
+        metadata (``n_buckets`` is recorded there by the writer).
+
+        Semantics match ``read(...).filter(keys)`` exactly: per-key
+        max-``_lsn`` winner across base + deltas, tombstones dropped
+        unless ``include_meta``. Intended for bounded key lists (the
+        filter is a literal OR over the keys); for a large keyset join
+        against ``read()`` instead.
+        """
+        if not keys:
+            raise ValueError("read_keys requires at least one key tuple")
+        meta = self.metadata(version)
+        want = T.StructType.fromJson(meta["schema"])
+        n_buckets = meta.get("n_buckets", self.n_buckets)
+        by_name = {f_.name: f_ for f_ in want.fields}
+        key_schema = T.StructType([by_name[k] for k in KEY_COLS])
+        # buckets via Spark's own hash partitioning function, over values
+        # cast to the TABLE's key types (murmur3 of int32 != int64)
+        kdf = self.spark.createDataFrame(keys, schema=key_schema)
+        buckets = sorted(
+            r[0]
+            for r in kdf.select(
+                F.pmod(F.hash(*KEY_COLS), F.lit(n_buckets))
+            ).distinct().collect()
+        )
+        key_filter = None
+        for kt in keys:
+            cond = None
+            for k, v in zip(KEY_COLS, kt):
+                c = F.col(k).eqNullSafe(F.lit(v))
+                cond = c if cond is None else cond & c
+            key_filter = cond if key_filter is None else key_filter | cond
+
+        def _read_pruned(data_dir: str) -> DataFrame | None:
+            paths = []
+            for b in buckets:
+                paths.extend(
+                    glob.glob(
+                        os.path.join(self.path, data_dir, f"part-{b:05d}-*.parquet")
+                    )
+                )
+            if not paths:
+                return None  # all matching buckets empty in this dir
+            df = _conform(self.spark.read.parquet(*paths), want)
+            return df.select(
+                [f_.name for f_ in want.fields] + META_COLS
+            ).filter(key_filter)
+
+        parts = [
+            p
+            for p in [_read_pruned(meta["data_dir"])]
+            + [_read_pruned(d) for d in meta.get("deltas", [])]
+            if p is not None
+        ]
+        if not parts:
+            df = self.spark.createDataFrame(
+                [],
+                schema=T.StructType(
+                    list(want.fields)
+                    + [
+                        T.StructField(META_LSN, T.LongType(), True),
+                        T.StructField(META_DELETED, T.BooleanType(), True),
+                    ]
+                ),
+            )
+        else:
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
             w = Window.partitionBy(*KEY_COLS).orderBy(F.col(META_LSN).desc())
             df = (
                 df.withColumn("_rn", F.row_number().over(w))
@@ -710,6 +812,9 @@ class TargetTable:
             "parent": parent,
             "mode": mode,
             "deltas": deltas or [],
+            # recorded so READERS can bucket-prune (read_keys) without
+            # having to be constructed with the writer's n_buckets
+            "n_buckets": self.n_buckets,
         }
         mp = self._meta_path(version)
         # Optimistic concurrency (Iceberg-style CAS): claim the version

@@ -273,3 +273,67 @@ def test_key_type_mismatch_raises(spark, tmp_path):
         {"lsn_hi": 3},
     )
     assert dict(t.read().dtypes)["score"] == "bigint"
+
+
+def test_read_keys_bucket_pruned_lookup(spark, tmp_path):
+    """Point lookup equals read().filter() on values AND provably opens
+    fewer files: inputFiles() must show one file per (bucket, dir), not
+    n_buckets per dir. Covers winners across deltas, tombstones, missing
+    keys, and schema evolution padding."""
+    t = TargetTable(spark, str(tmp_path / "t"), n_buckets=8, mode="mor",
+                    compact_threshold=99)
+    t.init(SCHEMA)
+    rows = [(i, "I", f"c{i % 10}", i // 10, f"v{i}") for i in range(40)]
+    t.merge_apply(_batch(spark, rows), {"lsn_hi": 39})
+    # delta 2: update one key, delete another, evolve schema with `tool`
+    t.merge_apply(
+        _batch(spark, [(100, "U", "c1", 0, "upd", "calc"),
+                       (101, "D", "c2", 0, None, None)], with_tool=True),
+        {"lsn_hi": 101},
+    )
+
+    got = t.read_keys([("c1", 0), ("c2", 0), ("c3", 0), ("nope", 7)])
+    by_key = {(r["conv_id"], r["turn_idx"]): r for r in got.collect()}
+    assert set(by_key) == {("c1", 0), ("c3", 0)}  # c2 deleted, nope absent
+    assert by_key[("c1", 0)]["text"] == "upd"
+    assert by_key[("c1", 0)]["tool"] == "calc"
+    assert by_key[("c3", 0)]["text"] == "v3"
+    assert by_key[("c3", 0)]["tool"] is None  # evolution padding
+
+    # parity with the full-scan read on the same keys
+    full = t.read().filter(
+        F.expr("(conv_id = 'c1' AND turn_idx = 0) OR "
+               "(conv_id = 'c2' AND turn_idx = 0) OR "
+               "(conv_id = 'c3' AND turn_idx = 0)")
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, got.select(*full.columns).collect())
+    )
+
+    # the scale claim: pruned scan opens at most |buckets| files per dir
+    # while the full read opens every written file
+    n_pruned = len(set(got.inputFiles()))
+    n_full = len(set(t.read().inputFiles()))
+    assert 0 < n_pruned < n_full
+    assert n_pruned <= 4 * 2  # 4 keys (<=4 buckets) x (base + 1 delta)
+
+    # tombstone visible with include_meta
+    meta_rows = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in t.read_keys([("c2", 0)], include_meta=True).collect()
+    }
+    assert meta_rows[("c2", 0)]["_deleted"] is True
+
+
+def test_read_keys_version_pinned_and_empty(spark, tmp_path):
+    t = TargetTable(spark, str(tmp_path / "t"), n_buckets=4, mode="cow")
+    t.init(SCHEMA)
+    with pytest.raises(ValueError):
+        t.read_keys([])
+    # before any data: empty result, correct schema
+    assert t.read_keys([("c1", 0)]).count() == 0
+    t.merge_apply(_batch(spark, [(1, "I", "c1", 0, "a")]), {"lsn_hi": 1})
+    v1 = t.current_version()
+    t.merge_apply(_batch(spark, [(2, "U", "c1", 0, "b")]), {"lsn_hi": 2})
+    assert t.read_keys([("c1", 0)]).collect()[0]["text"] == "b"
+    assert t.read_keys([("c1", 0)], version=v1).collect()[0]["text"] == "a"
