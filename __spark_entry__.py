@@ -1387,6 +1387,47 @@ FROM d, LATERAL (
 """
 
 
+def q_assemble_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript-turns → training-documents assembly (the bridge from
+    the CDC target table to the corpus operators): turn rows derived
+    deterministically from documents with REVERSED turn order relative
+    to storage order, so the oracle match proves the in-group
+    ``sort_array`` reordering, not parquet luck."""
+    from etl_reconciliate_spark.operators.corpus import conversations_to_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.lit(9) - F.floor(F.col("doc_id") / 50)
+    turns = docs.select(
+        (F.col("doc_id") % 50).cast("string").alias("conv_id"),
+        k.cast("int").alias("turn_idx"),
+        F.when(k % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.col("text"),
+    )
+    return conversations_to_documents(turns)
+
+
+SQL_ASSEMBLE = """
+WITH turns AS (
+  SELECT CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+         CAST(9 - doc_id // 50 AS INT) AS turn_idx,
+         CASE WHEN (9 - doc_id // 50) % 2 = 0 THEN 'user' ELSE 'assistant' END
+           AS role,
+         text
+  FROM documents
+)
+SELECT conv_id,
+       COUNT(*) AS n_turns,
+       CAST(length(string_agg(role || ': ' || coalesce(text, ''), chr(10)
+                              ORDER BY turn_idx)) AS BIGINT) AS n_chars,
+       string_agg(role || ': ' || coalesce(text, ''), chr(10)
+                  ORDER BY turn_idx) AS doc_text
+FROM turns
+GROUP BY conv_id
+"""
+
+
 def q_recon_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's own reconciliation operator driven from public
     tables: derive src/tgt transcript-shaped frames from documents and
@@ -1547,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_video_frames": q_multimodal_video_frames,
         "multimodal_audio_features": q_multimodal_audio_features,
+        "assemble_conversations": q_assemble_conversations,
         "recon_transcripts": q_recon_transcripts,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_session_windows": q_stream_session_windows,
@@ -1598,6 +1640,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_features": SQL_MM_IMAGE,
         "multimodal_video_frames": SQL_MM_VIDEO,
         "multimodal_audio_features": SQL_MM_AUDIO,
+        "assemble_conversations": SQL_ASSEMBLE,
         "recon_transcripts": SQL_RECON,
         "stream_windowed_counts": SQL_STREAM_WIN,
         "stream_session_windows": SQL_STREAM_SESSION,

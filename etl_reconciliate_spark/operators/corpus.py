@@ -145,3 +145,54 @@ def decontaminate(
         train, benchmark, k=k, min_overlap_frac=min_overlap_frac
     ).select(F.col("train_id").alias("doc_id")).distinct()
     return train.join(flagged, "doc_id", "left_anti")
+
+
+def conversations_to_documents(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Assemble per-turn transcript rows into one training document per
+    conversation — the bridge from the CDC target table (one row per
+    (conv_id, turn_idx)) to the ``documents``-shaped corpus the
+    curation/dedup/packing operators consume.
+
+    Each turn renders as ``role: text`` (null text → empty string) and
+    turns concatenate in ``turn_idx`` order regardless of input row
+    order. Returns (conv_id, n_turns, n_chars, doc_text).
+
+    Scale shape: ONE shuffle on ``conv_col`` (the groupBy), order
+    restored per group with ``sort_array`` over collected structs —
+    no global sort, no window; per-group memory is bounded by
+    conversation length, which is bounded by construction in a turn
+    table. Entirely native column algebra (codegen'd), so a SQL oracle
+    (``string_agg ... ORDER BY``) verifies the assembly byte-for-byte.
+    """
+    turn_struct = F.struct(
+        F.col(idx_col).alias("i"),
+        F.concat_ws(
+            ": ", F.col(role_col), F.coalesce(F.col(text_col), F.lit(""))
+        ).alias("line"),
+    )
+    assembled = (
+        turns.groupBy(F.col(conv_col).alias("conv_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.sort_array(F.collect_list(turn_struct)),
+                    lambda s: s["line"],
+                ),
+            ).alias("doc_text"),
+        )
+    )
+    return assembled.select(
+        "conv_id",
+        "n_turns",
+        F.length("doc_text").cast("long").alias("n_chars"),
+        "doc_text",
+    )

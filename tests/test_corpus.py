@@ -129,3 +129,32 @@ def test_decontaminate_drops_flagged_only(spark, docs):
         train.unionByName(copy), bench, k=8, min_overlap_frac=0.3
     )
     assert 99_999 in {r["train_id"] for r in pairs2.collect()}
+
+
+def test_conversations_to_documents_order_and_nulls(spark):
+    """Assembly must order by turn_idx regardless of input row order,
+    render null text as empty, and tolerate gaps in turn numbering."""
+    from etl_reconciliate_spark.operators.corpus import (
+        conversations_to_documents,
+    )
+
+    turns = spark.createDataFrame(
+        [
+            ("c1", 2, "assistant", "fine"),
+            ("c1", 0, "user", "hello"),
+            ("c1", 5, "user", None),
+            ("c1", 1, "assistant", "hi"),
+            ("c2", 0, "user", "solo"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    got = {
+        r["conv_id"]: r
+        for r in conversations_to_documents(turns.repartition(4)).collect()
+    }
+    assert got["c1"]["doc_text"] == (
+        "user: hello\nassistant: hi\nassistant: fine\nuser: "
+    )
+    assert got["c1"]["n_turns"] == 4
+    assert got["c1"]["n_chars"] == len(got["c1"]["doc_text"])
+    assert got["c2"]["doc_text"] == "user: solo" and got["c2"]["n_turns"] == 1
