@@ -1540,6 +1540,392 @@ GROUP BY user_id, sess
 
 
 # =====================================================================
+# checksum-block reconciliation (pt-table-checksum shape): digest pass
+# + dirty-block drill-down — the recon strategy that scales to 100 TB
+# (operators/checksum.py; no reference analog — its matcher is
+# row-at-a-time, service/ReconciliationService.java:126-128)
+# =====================================================================
+def _recon_src(docs: DataFrame) -> DataFrame:
+    return docs.filter(F.floor(F.col("doc_id") / 50) < 9).select(
+        (F.col("doc_id") % 50).cast("string").alias("conv_id"),
+        F.floor(F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        F.col("text"),
+    )
+
+
+def _recon_tgt(docs: DataFrame) -> DataFrame:
+    return docs.filter(F.floor(F.col("doc_id") / 50) > 0).select(
+        (F.col("doc_id") % 50).cast("string").alias("conv_id"),
+        F.floor(F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        F.when(
+            F.floor(F.col("doc_id") / 50) % 7 == 0, F.concat(F.col("text"), F.lit("!"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def q_checksum_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_reconciliate_spark.operators.checksum import block_checksums
+
+    return block_checksums(
+        _recon_src(_t(spark, sf_dir, "documents")), n_blocks=64
+    )
+
+
+def _sql_checksum_blocks() -> str:
+    from etl_reconciliate_spark.functions.hashing import hash32_sql, hash60_sql
+
+    key_canon = (
+        "concat_ws(chr(1), coalesce(CAST(conv_id AS VARCHAR), chr(0)), "
+        "coalesce(CAST(turn_idx AS VARCHAR), chr(0)))"
+    )
+    row_canon = (
+        "concat_ws(chr(1), coalesce(CAST(conv_id AS VARCHAR), chr(0)), "
+        "coalesce(CAST(turn_idx AS VARCHAR), chr(0)), "
+        "coalesce(CAST(text AS VARCHAR), chr(0)))"
+    )
+    return f"""
+WITH src AS (
+  SELECT CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+         CAST(doc_id // 50 AS INT) AS turn_idx, text
+  FROM documents WHERE doc_id // 50 < 9
+)
+SELECT CAST({hash32_sql(key_canon)} % 64 AS INT) AS block_id,
+       COUNT(*) AS n_rows,
+       BIT_XOR({hash60_sql(row_canon)}) AS checksum
+FROM src GROUP BY 1
+"""
+
+
+def q_checksum_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_reconciliate_spark.operators.checksum import checksum_reconcile
+
+    docs = _t(spark, sf_dir, "documents")
+    return checksum_reconcile(
+        _recon_src(docs), _recon_tgt(docs), n_blocks=64, hot_threshold=1000
+    )
+
+
+SQL_CHECKSUM_RECON = """
+WITH base AS (
+  SELECT CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+         CAST(doc_id // 50 AS INT) AS turn_idx, text
+  FROM documents
+), src AS (
+  SELECT * FROM base WHERE turn_idx < 9
+), tgt AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN turn_idx % 7 = 0 THEN text || '!' ELSE text END AS text
+  FROM base WHERE turn_idx > 0
+)
+SELECT * FROM (
+  SELECT COALESCE(s.conv_id, t.conv_id) AS conv_id,
+         COALESCE(s.turn_idx, t.turn_idx) AS turn_idx,
+         CASE WHEN t.conv_id IS NULL THEN 'SOURCE_ONLY'
+              WHEN s.conv_id IS NULL THEN 'TARGET_ONLY'
+              WHEN s.text IS NOT DISTINCT FROM t.text THEN 'MATCH'
+              ELSE 'VALUE_DISCREPANCY' END AS status,
+         s.text AS src_text, t.text AS tgt_text
+  FROM src s FULL OUTER JOIN tgt t
+    ON s.conv_id = t.conv_id AND s.turn_idx = t.turn_idx
+) WHERE status <> 'MATCH'
+"""
+
+
+def q_recon_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-native recon loop: only keys 'touched since the checkpoint'
+    (derived here as doc_id % 3 == 0 — in production,
+    TargetTable.read_changes between two snapshot versions) are
+    re-verified; both sides prune on the broadcast changed-key set."""
+    from etl_reconciliate_spark.operators.reconcile import reconcile_incremental
+
+    docs = _t(spark, sf_dir, "documents")
+    changed = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") % 50).cast("string").alias("conv_id"),
+        F.floor(F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+    )
+    return reconcile_incremental(
+        _recon_src(docs), _recon_tgt(docs), changed, hot_threshold=1000
+    )
+
+
+SQL_RECON_INCREMENTAL = """
+WITH base AS (
+  SELECT CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+         CAST(doc_id // 50 AS INT) AS turn_idx, text
+  FROM documents
+), changed AS (
+  SELECT DISTINCT CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+         CAST(doc_id // 50 AS INT) AS turn_idx
+  FROM documents WHERE doc_id % 3 = 0
+), src AS (
+  SELECT b.* FROM base b JOIN changed c USING (conv_id, turn_idx)
+  WHERE turn_idx < 9
+), tgt AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN turn_idx % 7 = 0 THEN text || '!' ELSE text END AS text
+  FROM base JOIN changed USING (conv_id, turn_idx)
+  WHERE turn_idx > 0
+)
+SELECT COALESCE(s.conv_id, t.conv_id) AS conv_id,
+       COALESCE(s.turn_idx, t.turn_idx) AS turn_idx,
+       CASE WHEN t.conv_id IS NULL THEN 'SOURCE_ONLY'
+            WHEN s.conv_id IS NULL THEN 'TARGET_ONLY'
+            WHEN s.text IS NOT DISTINCT FROM t.text THEN 'MATCH'
+            ELSE 'VALUE_DISCREPANCY' END AS status,
+       s.text AS src_text, t.text AS tgt_text
+FROM src s FULL OUTER JOIN tgt t
+  ON s.conv_id = t.conv_id AND s.turn_idx = t.turn_idx
+"""
+
+
+# =====================================================================
+# statistical reconciliation: single-pass column profile + drift
+# (operators/profile.py)
+# =====================================================================
+PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_reconciliate_spark.operators.profile import column_profile
+
+    return column_profile(_t(spark, sf_dir, "documents"), PROFILE_COLS)
+
+
+def _sql_table_profile() -> str:
+    parts = [
+        f"""SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       MIN(CAST({c} AS VARCHAR)) AS min_str,
+       MAX(CAST({c} AS VARCHAR)) AS max_str
+FROM documents"""
+        for c in PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_reconciliate_spark.operators.profile import profile_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return profile_drift(
+        _recon_src(docs), _recon_tgt(docs), ["conv_id", "turn_idx", "text"]
+    )
+
+
+def _sql_profile_drift() -> str:
+    prof = """
+  SELECT * FROM (
+    SELECT 'conv_id' AS col, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN conv_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           COUNT(DISTINCT conv_id) AS n_distinct,
+           MIN(CAST(conv_id AS VARCHAR)) AS mn, MAX(CAST(conv_id AS VARCHAR)) AS mx
+    FROM {t}
+    UNION ALL
+    SELECT 'turn_idx', COUNT(*),
+           CAST(SUM(CASE WHEN turn_idx IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT turn_idx),
+           MIN(CAST(turn_idx AS VARCHAR)), MAX(CAST(turn_idx AS VARCHAR))
+    FROM {t}
+    UNION ALL
+    SELECT 'text', COUNT(*),
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT text),
+           MIN(CAST(text AS VARCHAR)), MAX(CAST(text AS VARCHAR))
+    FROM {t}
+  )
+"""
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+         CAST(doc_id // 50 AS INT) AS turn_idx, text
+  FROM documents
+), src AS (
+  SELECT * FROM base WHERE turn_idx < 9
+), tgt AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN turn_idx % 7 = 0 THEN text || '!' ELSE text END AS text
+  FROM base WHERE turn_idx > 0
+), ps AS ({prof.format(t="src")}), pt AS ({prof.format(t="tgt")})
+SELECT coalesce(ps.col, pt.col) AS "column",
+       ps.n_rows AS src_n_rows, pt.n_rows AS tgt_n_rows,
+       ps.n_null AS src_n_null, pt.n_null AS tgt_n_null,
+       ps.n_distinct AS src_n_distinct, pt.n_distinct AS tgt_n_distinct,
+       (ps.n_rows IS NULL OR pt.n_rows IS NULL
+        OR ps.n_rows <> pt.n_rows OR ps.n_null <> pt.n_null
+        OR ps.n_distinct <> pt.n_distinct
+        OR ps.mn IS DISTINCT FROM pt.mn
+        OR ps.mx IS DISTINCT FROM pt.mx) AS drifted
+FROM ps FULL OUTER JOIN pt ON ps.col = pt.col
+"""
+
+
+# =====================================================================
+# BM25 retrieval + char-trigram LM quality scoring + duplicated spans
+# (operators/retrieval.py, lm.py, spans.py)
+# =====================================================================
+BM25_QUERIES = ["table scan merge", "hash window sort", "spark fast batch"]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_reconciliate_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), BM25_QUERIES, k=10)
+
+
+def _sql_bm25() -> str:
+    vals = ", ".join(
+        f"({qi}, '{t}')"
+        for qi, q in enumerate(BM25_QUERIES)
+        for t in q.split()
+    )
+    # expression shapes mirror the Spark column algebra EXACTLY
+    # (association order matters for double bit-equality; ln differs in
+    # the last ulp on ~4% of inputs, absorbed by ROUND(.,6))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, u.term
+  FROM documents,
+  LATERAL (SELECT unnest(list_filter(
+            regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+            x -> x <> '')) AS term) u
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1
+), dfq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM dl
+), q(query_id, term) AS (VALUES {vals}),
+comp AS (
+  SELECT q.query_id, tf.doc_id, tf.term,
+         ln(1.0 + ((stats.n_docs - dfq.df) + 0.5) / (dfq.df + 0.5)) *
+           ((tf.tf * 2.2) /
+            (tf.tf + 1.2 * (0.25 + (0.75 * CAST(dl.dl AS DOUBLE)) / stats.avgdl)))
+           AS comp
+  FROM q JOIN tf USING (term) JOIN dl USING (doc_id)
+         JOIN dfq USING (term), stats
+), folded AS (
+  SELECT query_id, doc_id,
+         list_reduce([0.0] || list(comp ORDER BY term), (a, b) -> a + b) AS score
+  FROM comp GROUP BY 1, 2
+)
+SELECT CAST(query_id AS INT) AS query_id, doc_id,
+       ROUND(score, 6) AS score_r, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id ASC) AS rank
+  FROM folded
+) WHERE rank <= 10
+"""
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram LM trained on the src0 slice, scoring every doc —
+    the CCNet-style perplexity quality gate."""
+    from etl_reconciliate_spark.operators.lm import (
+        charset_size,
+        score_docs,
+        train_char_lm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") == "src0")
+    return score_docs(docs, train_char_lm(train), charset_size(train))
+
+
+SQL_LM_SCORE = """
+WITH train AS (
+  SELECT text FROM documents WHERE source = 'src0'
+), grams AS (
+  SELECT substr(t.text, CAST(gs.i AS INT), 3) AS gram
+  FROM train t,
+  LATERAL (SELECT unnest(generate_series(1, length(t.text) - 2)) AS i) gs
+), counts AS (
+  SELECT gram, COUNT(*) AS cnt FROM grams GROUP BY 1
+), ctx_tot AS (
+  SELECT substr(gram, 1, 2) AS ctx, SUM(cnt) AS ctx_cnt FROM counts GROUP BY 1
+), vocab AS (
+  SELECT COUNT(DISTINCT substr(t.text, CAST(gs.i AS INT), 1)) AS v
+  FROM train t,
+  LATERAL (SELECT unnest(generate_series(1, length(t.text))) AS i) gs
+), docpos AS (
+  SELECT d.doc_id, substr(d.text, CAST(gs.i AS INT), 3) AS gram
+  FROM documents d,
+  LATERAL (SELECT unnest(generate_series(1, length(d.text) - 2)) AS i) gs
+), occ AS (
+  SELECT doc_id, gram, COUNT(*) AS occ FROM docpos GROUP BY 1, 2
+), contrib AS (
+  SELECT o.doc_id, o.gram,
+         o.occ,
+         CAST(o.occ AS DOUBLE) *
+           ln((CAST(coalesce(c.cnt, 0) AS DOUBLE) + 0.5) /
+              (CAST(coalesce(c2.ctx_cnt, x.ctx_cnt, 0) AS DOUBLE)
+               + 0.5 * CAST(vocab.v AS DOUBLE))) AS lp
+  FROM occ o
+  LEFT JOIN counts c USING (gram)
+  LEFT JOIN (SELECT gram, ctx_cnt FROM counts
+             JOIN ctx_tot ON substr(gram, 1, 2) = ctx) c2 USING (gram)
+  LEFT JOIN ctx_tot x ON substr(o.gram, 1, 2) = x.ctx, vocab
+), folded AS (
+  SELECT doc_id, SUM(occ) AS n_grams,
+         list_reduce([0.0] || list(lp ORDER BY gram), (a, b) -> a + b) AS sum_lp
+  FROM contrib GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(f.n_grams, 0) AS BIGINT) AS n_grams,
+       ROUND(f.sum_lp / CAST(f.n_grams AS DOUBLE), 6) AS avg_logprob_r
+FROM documents d LEFT JOIN folded f USING (doc_id)
+"""
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_reconciliate_spark.operators.spans import duplicated_span_stats
+
+    return duplicated_span_stats(_t(spark, sf_dir, "documents"), width=8)
+
+
+def _sql_dup_spans() -> str:
+    from etl_reconciliate_spark.functions.hashing import hash60_sql
+
+    span = hash60_sql(
+        "array_to_string(list_slice(tk, CAST(gs.i AS INT), CAST(gs.i AS INT) + 7), ' ')"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tk
+  FROM documents
+), spans AS (
+  SELECT doc_id, {span} AS sh
+  FROM toks,
+  LATERAL (SELECT unnest(generate_series(1, len(tk) - 7)) AS i) gs
+), dup AS (
+  SELECT sh FROM spans GROUP BY sh HAVING COUNT(DISTINCT doc_id) > 1
+), flagged AS (
+  SELECT s.doc_id, COUNT(*) AS n_dup FROM spans s JOIN dup USING (sh) GROUP BY 1
+), tot AS (
+  SELECT doc_id, COUNT(*) AS n FROM spans GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(t.n, 0) AS n_spans,
+       coalesce(f.n_dup, 0) AS n_dup_spans,
+       CASE WHEN coalesce(t.n, 0) > 0
+            THEN CAST(coalesce(f.n_dup, 0) AS DOUBLE) / CAST(t.n AS DOUBLE)
+            ELSE 0.0 END AS dup_span_ratio
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN flagged f USING (doc_id)
+"""
+
+
+# =====================================================================
 # contract surface
 # =====================================================================
 def entry(spark: SparkSession) -> DataFrame:
@@ -1590,6 +1976,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": q_multimodal_audio_features,
         "assemble_conversations": q_assemble_conversations,
         "recon_transcripts": q_recon_transcripts,
+        "recon_incremental": q_recon_incremental,
+        "checksum_blocks": q_checksum_blocks,
+        "checksum_recon": q_checksum_recon,
+        "bm25_topk": q_bm25_topk,
+        "lm_score": q_lm_score,
+        "dup_spans": q_dup_spans,
+        "table_profile": q_table_profile,
+        "profile_drift": q_profile_drift,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_session_windows": q_stream_session_windows,
     }
@@ -1642,6 +2036,14 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio_features": SQL_MM_AUDIO,
         "assemble_conversations": SQL_ASSEMBLE,
         "recon_transcripts": SQL_RECON,
+        "recon_incremental": SQL_RECON_INCREMENTAL,
+        "checksum_blocks": _sql_checksum_blocks(),
+        "checksum_recon": SQL_CHECKSUM_RECON,
+        "bm25_topk": _sql_bm25(),
+        "lm_score": SQL_LM_SCORE,
+        "dup_spans": _sql_dup_spans(),
+        "table_profile": _sql_table_profile(),
+        "profile_drift": _sql_profile_drift(),
         "stream_windowed_counts": SQL_STREAM_WIN,
         "stream_session_windows": SQL_STREAM_SESSION,
         # ann_lsh_topk, ann_ivf_topk: rows-only (approximate top-k is not

@@ -33,6 +33,22 @@ def hash32_sql(expr: str, seed: int | None = None) -> str:
     return f"CAST(('0x' || substr(md5({inner}), 1, 8)) AS BIGINT)"
 
 
+def hash60(col: Column) -> Column:
+    """Deterministic 60-bit hash (as long) — for row digests, where
+    32 bits would make block-checksum collisions plausible at 100 TB
+    (birthday bound ~2^16 rows/block) while 60 bits pushes the collision
+    odds per 1M-row block below 2^-20. 15 hex chars keep the value
+    inside signed-64 range in both engines."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def hash60_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`hash60`."""
+    return f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
 M32 = 1 << 32
 
 

@@ -1,0 +1,162 @@
+"""Checksum-block reconciliation — the 100 TB-scale recon strategy.
+
+A row-level full-outer reconciliation (``operators.reconcile``) shuffles
+BOTH tables on the key even when 99.99% of rows match — at 100 TB that
+is the dominant cost of the whole pipeline. The scalable strategy
+(pt-table-checksum / Datafold data-diff lineage; the reference's
+row-at-a-time matcher at service/ReconciliationService.java:126-128 has
+no analog) is hierarchical:
+
+1. **Digest pass** — scan each side once, folding every row into an
+   order-independent per-block digest: ``BIT_XOR`` of a 60-bit row hash
+   plus a row count, blocks assigned by key hash. XOR is commutative and
+   associative, so the aggregation is a pure map-side partial combine —
+   the shuffle carries ``n_blocks`` rows per side, not the table.
+2. **Compare pass** — full-outer join the two digest tables
+   (``n_blocks`` rows each; broadcast-sized for any sane ``n_blocks``)
+   and keep the dirty blocks.
+3. **Drill-down pass** — run the row-level reconcile ONLY on rows whose
+   block is dirty, pruned with a broadcast semi-join of the dirty block
+   ids. With drift rate ε, the expensive key shuffle touches
+   ~ε·rows + collateral rows sharing a dirty block, never the table.
+
+The row hash is the portable md5-derived family (``functions.hashing``)
+so every digest is DuckDB-verifiable; at 100 TB swap ``xxhash64`` in at
+that single seam. Rows are canonicalized with explicit per-column null
+sentinels (``concat_ws`` alone would let ('a', NULL, 'b') collide with
+('a', 'b', NULL)).
+
+Guarantee: the drill-down's non-MATCH set equals the full row-level
+reconcile's non-MATCH set exactly, modulo 60-bit XOR-digest collisions
+(a differing block reading equal requires the XOR of the differing
+row-hash sets to cancel — probability ~2^-60 per block, non-adversarial
+data). ``tests/test_checksum.py`` asserts the equality on seeded drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from etl_reconciliate_spark.functions.hashing import hash32, hash60
+from etl_reconciliate_spark.operators.reconcile import reconcile
+from etl_reconciliate_spark.schemas import KEY_COLS, STATUS_MATCH
+
+NULL_SENTINEL = "\x00"
+SEP = "\x01"
+
+
+def _canon(cols: list[str]) -> Column:
+    """Canonical string of a row slice: null-safe, separator-framed."""
+    return F.concat_ws(
+        SEP, *[F.coalesce(F.col(c).cast("string"), F.lit(NULL_SENTINEL)) for c in cols]
+    )
+
+
+def block_expr(key_cols: list[str], n_blocks: int) -> Column:
+    """Block id of a row — key columns only, so the same logical row
+    lands in the same block on both sides regardless of payload."""
+    return F.pmod(hash32(_canon(key_cols)), F.lit(n_blocks)).cast("int")
+
+
+def block_checksums(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    compare_cols: tuple[str, ...] = ("text",),
+    n_blocks: int = 4096,
+) -> DataFrame:
+    """Per-block digest table: (block_id, n_rows, checksum).
+
+    One scan, one n_blocks-row shuffle (XOR + count both combine
+    map-side). ``checksum`` folds keys AND compared payload columns, so
+    any value drift — not just key drift — dirties the block.
+    """
+    keys = key_cols or KEY_COLS
+    row_hash = hash60(_canon(keys + list(compare_cols)))
+    return (
+        df.select(
+            block_expr(keys, n_blocks).alias("block_id"),
+            row_hash.alias("_rh"),
+        )
+        .groupBy("block_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(_rh)").alias("checksum"),
+        )
+    )
+
+
+def checksum_diff(src_sums: DataFrame, tgt_sums: DataFrame) -> DataFrame:
+    """Compare two digest tables → (block_id, src_rows, tgt_rows, dirty).
+
+    Input is n_blocks rows per side; the join is broadcast-sized. A
+    block is dirty when either side lacks it, row counts differ, or the
+    XOR digests differ.
+    """
+    s = src_sums.select(
+        F.col("block_id"),
+        F.col("n_rows").alias("src_rows"),
+        F.col("checksum").alias("src_checksum"),
+    )
+    t = tgt_sums.select(
+        F.col("block_id"),
+        F.col("n_rows").alias("tgt_rows"),
+        F.col("checksum").alias("tgt_checksum"),
+    )
+    j = s.join(t, "block_id", "full_outer")
+    dirty = (
+        F.col("src_rows").isNull()
+        | F.col("tgt_rows").isNull()
+        | (F.col("src_rows") != F.col("tgt_rows"))
+        | (F.col("src_checksum") != F.col("tgt_checksum"))
+    )
+    return j.select(
+        "block_id",
+        F.coalesce("src_rows", F.lit(0)).alias("src_rows"),
+        F.coalesce("tgt_rows", F.lit(0)).alias("tgt_rows"),
+        dirty.alias("dirty"),
+    )
+
+
+def checksum_reconcile(
+    source: DataFrame,
+    target: DataFrame,
+    key_cols: list[str] | None = None,
+    compare_cols: tuple[str, ...] = ("text",),
+    n_blocks: int = 4096,
+    diff: DataFrame | None = None,
+    **recon_kwargs,
+) -> DataFrame:
+    """Discrepancy rows (status != MATCH) via checksum-pruned drill-down.
+
+    Exactly the full reconcile's non-MATCH output, computed by shuffling
+    only the rows of dirty blocks. Clean blocks are proven MATCH by
+    their digests and never reach the join.
+
+    Pass a precomputed (ideally persisted — it is n_blocks rows) ``diff``
+    to share the digest pass with block-level reporting; it must come
+    from :func:`checksum_diff` over the same (keys, compare_cols,
+    n_blocks).
+    """
+    keys = key_cols or KEY_COLS
+    if keys != KEY_COLS:
+        # the drill-down delegates to reconcile(), which classifies on
+        # the engine's composite key; digests alone support any key set
+        raise ValueError(f"checksum_reconcile requires key_cols={KEY_COLS}")
+    if diff is None:
+        diff = checksum_diff(
+            block_checksums(source, keys, compare_cols, n_blocks),
+            block_checksums(target, keys, compare_cols, n_blocks),
+        )
+    dirty_ids = F.broadcast(diff.filter(F.col("dirty")).select("block_id"))
+
+    def _prune(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("_blk", block_expr(keys, n_blocks))
+            .join(dirty_ids, F.col("_blk") == dirty_ids.block_id, "semi")
+            .drop("_blk")
+        )
+
+    recon = reconcile(
+        _prune(source), _prune(target), compare_cols=compare_cols, **recon_kwargs
+    )
+    return recon.filter(F.col("status") != STATUS_MATCH)

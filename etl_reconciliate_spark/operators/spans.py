@@ -1,0 +1,106 @@
+"""Duplicated-span detection — substring-level dedup signal.
+
+Document-level dedup (exact / MinHash / SimHash, ``dedupe_docs``) misses
+the dominant contamination mode in web-scale corpora: long spans
+(boilerplate, licenses, quoted passages) repeated across otherwise
+distinct documents. Lee et al., "Deduplicating Training Data Makes
+Language Models Better" (ACL 2022) remove duplicated substrings with a
+suffix array — inherently sequential and RAM-bound. The Spark-native
+equivalent used here: fixed-width token n-gram spans, counted across the
+corpus with a plain aggregation, re-joined to flag each document's
+duplicated-span mass.
+
+Shape at 100 TB: ``explode`` multiplies rows by tokens-per-doc, but each
+exploded row is a (doc_id, 60-bit span hash) pair — ~16 bytes — and the
+groupBy combines map-side, so the shuffle carries distinct span hashes,
+not positions. The flag join shuffles on span_hash (both sides already
+exploded; no broadcast needed — the dup-span table is corpus-sized in
+the worst case). Production refinement: count on a hashed 2^32 space and
+accept counting collisions (the signal is a ratio, not an id).
+
+No floating-point subtleties anywhere: counts and ratios of integers
+(the one division is exact-IEEE double), so the DuckDB oracle matches
+bit-for-bit without rounding tricks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from etl_reconciliate_spark.functions.hashing import hash60
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _tokens(text_col: Column) -> Column:
+    """Lowercased alnum tokens; boundary empties filtered."""
+    return F.filter(
+        F.split(F.lower(text_col), TOKEN_SPLIT), lambda t: t != ""
+    )
+
+
+def _span_hashes(text_col: Column, width: int) -> Column:
+    """Array of 60-bit hashes of each ``width``-token span (stride 1)."""
+    toks = _tokens(text_col)
+    n = F.size(toks) - width + 1
+    # sequence(1, n<=0) DESCENDS in Spark — guard the short-doc case
+    return F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: hash60(F.concat_ws(" ", F.slice(toks, i, width))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    width: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-span statistics.
+
+    Returns (id, n_spans, n_dup_spans, dup_span_ratio) where a span
+    position counts as duplicated when its ``width``-token content
+    appears in MORE THAN ONE distinct document. Documents shorter than
+    ``width`` tokens report 0 spans, ratio 0.0.
+    """
+    spans = docs.select(
+        F.col(id_col), F.explode(_span_hashes(F.col(text_col), width)).alias("sh")
+    )
+    # distinct docs per span content; map-side combine on (sh, doc) first
+    dup = (
+        spans.groupBy("sh")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("sh")
+    )
+    flagged = spans.join(dup, "sh", "left_semi")
+    per_doc = (
+        flagged.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    # n_spans needs NO explode: it is max(len(tokens) - width + 1, 0) —
+    # pure column algebra on the base scan (one fewer corpus pass than
+    # aggregating the exploded spans; the explode runs twice as-is for
+    # the dup table and the flag join — at 100 TB persist/checkpoint
+    # `spans` to make it once)
+    totals = F.greatest(
+        F.size(_tokens(F.col(text_col))) - (width - 1), F.lit(0)
+    ).cast("long")
+    return (
+        docs.select(F.col(id_col), totals.alias("n_spans"))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.when(
+                F.col("n_spans") > 0,
+                F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("double")
+                / F.col("n_spans").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_span_ratio"),
+        )
+    )

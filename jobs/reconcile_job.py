@@ -46,6 +46,19 @@ def main() -> int:
                     help="emit the two-sheet human report (CSV per sheet "
                          "+ report.html with conditional fill) here")
     ap.add_argument("--report-max-rows", type=int, default=50_000)
+    ap.add_argument("--strategy", choices=["full", "checksum"], default="full",
+                    help="'full' = row-level full-outer classify of every "
+                         "key; 'checksum' = pt-table-checksum shape: "
+                         "per-block XOR digests first, row-level drill-down "
+                         "ONLY on dirty blocks — the 100 TB path; reports "
+                         "discrepancies only (clean blocks are proven MATCH "
+                         "by digest)")
+    ap.add_argument("--checksum-blocks", type=int, default=4096)
+    ap.add_argument("--changed-since-version", type=int, default=None,
+                    help="incremental recon: verify ONLY keys whose target "
+                         "state changed since this committed snapshot "
+                         "version (TargetTable.read_changes); shuffle is "
+                         "O(changed keys)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -69,13 +82,59 @@ def main() -> int:
     else:
         source = spark.read.parquet(args.source)
 
-    target = TargetTable(spark, args.target).read()
-
-    recon = reconcile(
-        source, target, n_salts=args.salts, hot_threshold=args.hot_threshold,
-        comparator=args.comparator,
-    )
+    tbl = TargetTable(spark, args.target)
+    target = tbl.read()
     out: dict = {}
+
+    if args.changed_since_version is not None:
+        from etl_reconciliate_spark.operators.reconcile import (
+            reconcile_incremental,
+        )
+
+        changed = tbl.read_changes(args.changed_since_version).select(
+            "conv_id", "turn_idx"
+        )
+        recon = reconcile_incremental(
+            source, target, changed,
+            n_salts=args.salts, hot_threshold=args.hot_threshold,
+            comparator=args.comparator,
+        )
+        out["incremental"] = {
+            "since_version": args.changed_since_version,
+            "to_version": tbl.current_version(),
+        }
+    elif args.strategy == "checksum":
+        from pyspark import StorageLevel
+
+        from etl_reconciliate_spark.operators.checksum import (
+            block_checksums,
+            checksum_diff,
+            checksum_reconcile,
+        )
+
+        diff = checksum_diff(
+            block_checksums(source, n_blocks=args.checksum_blocks),
+            block_checksums(target, n_blocks=args.checksum_blocks),
+        ).persist(StorageLevel.MEMORY_AND_DISK)  # n_blocks rows — tiny
+        blk = diff.agg(
+            F.count(F.lit(1)).alias("blocks"),
+            F.sum(F.col("dirty").cast("int")).alias("dirty"),
+        ).collect()[0]
+        recon = checksum_reconcile(
+            source, target, n_blocks=args.checksum_blocks, diff=diff,
+            n_salts=args.salts, hot_threshold=args.hot_threshold,
+            comparator=args.comparator,
+        )
+        out["checksum"] = {
+            "n_blocks": args.checksum_blocks,
+            "blocks_seen": blk["blocks"],
+            "dirty_blocks": int(blk["dirty"] or 0),
+        }
+    else:
+        recon = reconcile(
+            source, target, n_salts=args.salts,
+            hot_threshold=args.hot_threshold, comparator=args.comparator,
+        )
 
     if args.results_dir:
         # K1 parity (reference: ExcelReportService.java:53-82 — two result

@@ -1,0 +1,61 @@
+"""Column profiling + drift: hand-checked stats, one-pass plan shape,
+schema-drift surfacing."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_reconciliate_spark.operators.profile import column_profile, profile_drift
+from etl_reconciliate_spark.schemas import TRANSCRIPTS_SCHEMA
+
+TS = datetime.datetime(2026, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rows = [
+        ("a", 0, "user", "x", None, TS),
+        ("a", 1, "user", "y", None, TS),
+        ("b", 0, None, "x", "t1", None),
+    ]
+    return spark.createDataFrame(rows, schema=TRANSCRIPTS_SCHEMA)
+
+
+def test_profile_values(frame):
+    p = {r.column: r for r in column_profile(frame).collect()}
+    assert set(p) == {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
+    assert all(r.n_rows == 3 for r in p.values())
+    assert p["conv_id"].n_null == 0 and p["conv_id"].n_distinct == 2
+    assert p["role"].n_null == 1 and p["role"].n_distinct == 1
+    assert p["text"].n_distinct == 2
+    assert p["tool"].n_null == 2 and p["tool"].n_distinct == 1
+    assert p["turn_idx"].min_str == "0" and p["turn_idx"].max_str == "1"
+
+
+def test_profile_single_pass(frame):
+    """All columns must profile in ONE aggregation over ONE scan (the
+    Expand-based multi-distinct plan), not a scan per column."""
+    plan = (
+        column_profile(frame)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan ExistingRDD") <= 1 or plan.count("FileScan") <= 1
+
+
+def test_drift_detection(spark, frame):
+    drifted_tgt = frame.withColumn(
+        "text", F.when(F.col("turn_idx") == 1, F.lit("CHANGED")).otherwise(F.col("text"))
+    )
+    d = {r.column: r for r in profile_drift(frame, drifted_tgt).collect()}
+    assert d["text"].drifted is True
+    assert d["conv_id"].drifted is False
+    assert d["turn_idx"].drifted is False
+
+
+def test_drift_schema_mismatch(spark, frame):
+    tgt = frame.drop("tool")
+    d = {r.column: r for r in profile_drift(frame, tgt).collect()}
+    assert d["tool"].drifted is True and d["tool"].tgt_n_rows is None
