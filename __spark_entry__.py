@@ -1926,6 +1926,113 @@ LEFT JOIN flagged f USING (doc_id)
 
 
 # =====================================================================
+# temporal joins + hypertable rollup (operators/temporal.py; no
+# reference analog — its only temporal logic is a scan lower bound,
+# batch/tasklet/LoadSwiftMessagesTasklet.java:37-39)
+# =====================================================================
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase attributed to the user's latest preceding click —
+    the as-of join runs as union + ONE window (no join node, one
+    shuffle on user_id; tests/test_temporal.py asserts plan shape)."""
+    from etl_reconciliate_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", right_cols=("event_id",),
+        suffix="_click",
+    )
+    # unmatched → sentinels, not NULLs: nullable bigint/timestamp output
+    # representations differ across engines (pandas int→float lift)
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.coalesce(F.col("ts_click"), F.lit("1900-01-01").cast("timestamp")).alias("ts_click"),
+        F.coalesce(F.col("event_id_click"), F.lit(-1)).alias("click_id"),
+    )
+
+
+# DuckDB has native ASOF JOIN — an independent formulation of the same
+# semantics. Ties on (user_id, ts) resolve to max(event_id) on both
+# engines (Spark: max-struct pre-dedup inside asof_join).
+SQL_ASOF = """
+WITH clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id, p.ts,
+       coalesce(c.ts, TIMESTAMP '1900-01-01') AS ts_click,
+       coalesce(c.click_id, -1) AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_range_funnel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup→purchase funnel pairs within 1 hour, same user. The range
+    predicate runs as an equi-join on (user_id, time_bucket) with a
+    constant 2× replication — never a per-key cross join."""
+    from etl_reconciliate_spark.operators.temporal import range_join_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return range_join_pairs(
+        signups, purchases, on="user_id", max_delta="1 hour",
+        a_cols=("event_id",), b_cols=("event_id",),
+    )
+
+
+SQL_RANGE_PAIRS = """
+SELECT a.user_id,
+       a.ts AS ts_a, a.event_id AS event_id_a,
+       b.ts AS ts_b, b.event_id AS event_id_b
+FROM (SELECT * FROM events WHERE event_type = 'signup') a
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+"""
+
+
+def q_ts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour+day continuous aggregates; the day level re-aggregates the
+    hourly PARTIALS (one raw scan total), while the oracle aggregates
+    raw events directly at both grains — the match proves
+    re-aggregation-from-partials correctness, not just arithmetic."""
+    from etl_reconciliate_spark.operators.temporal import rollup_timeseries
+
+    ev = _t(spark, sf_dir, "events").withColumn("value", _dec(F.col("value")))
+    out = rollup_timeseries(ev, grains=("hour", "day"))
+    return out.select(
+        "grain", "bucket", "event_type", "n_events",
+        _dbl(F.col("sum_value")).alias("sum_value"),
+        _dbl(F.col("min_value")).alias("min_value"),
+        _dbl(F.col("max_value")).alias("max_value"),
+    )
+
+
+SQL_TS_ROLLUP = """
+SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+       CAST(min(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS min_value,
+       CAST(max(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS max_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day', date_trunc('day', ts), event_type,
+       count(*),
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE),
+       CAST(min(CAST(value AS DECIMAL(38,6))) AS DOUBLE),
+       CAST(max(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+FROM events GROUP BY 2, 3
+"""
+
+
+# =====================================================================
 # contract surface
 # =====================================================================
 def entry(spark: SparkSession) -> DataFrame:
@@ -1984,6 +2091,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "table_profile": q_table_profile,
         "profile_drift": q_profile_drift,
+        "asof_attribution": q_asof_attribution,
+        "range_funnel_pairs": q_range_funnel_pairs,
+        "ts_rollup": q_ts_rollup,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_session_windows": q_stream_session_windows,
     }
@@ -2044,6 +2154,9 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _sql_dup_spans(),
         "table_profile": _sql_table_profile(),
         "profile_drift": _sql_profile_drift(),
+        "asof_attribution": SQL_ASOF,
+        "range_funnel_pairs": SQL_RANGE_PAIRS,
+        "ts_rollup": SQL_TS_ROLLUP,
         "stream_windowed_counts": SQL_STREAM_WIN,
         "stream_session_windows": SQL_STREAM_SESSION,
         # ann_lsh_topk, ann_ivf_topk: rows-only (approximate top-k is not

@@ -59,3 +59,56 @@ def test_drift_schema_mismatch(spark, frame):
     tgt = frame.drop("tool")
     d = {r.column: r for r in profile_drift(frame, tgt).collect()}
     assert d["tool"].drifted is True and d["tool"].tgt_n_rows is None
+
+
+def test_profile_job_cli(spark, frame, tmp_path, capsys, monkeypatch):
+    """The profiling job surface: single-table profile, then
+    time-travel drift between two snapshots of a versioned target."""
+    import json
+    import sys
+
+    from pyspark.sql import types as T
+
+    from etl_reconciliate_spark.target.table import TargetTable
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import profile_job
+    finally:
+        sys.path.pop(0)
+
+    pq = str(tmp_path / "pq")
+    frame.write.parquet(pq)
+    monkeypatch.setattr(sys, "argv", ["profile_job.py", "--parquet", pq])
+    assert profile_job.main() == 0
+    prof = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert prof["mode"] == "profile"
+    by_col = {c["column"]: c for c in prof["columns"]}
+    assert by_col["conv_id"]["n_distinct"] == 2
+    assert by_col["tool"]["n_null"] == 2
+
+    tbl = TargetTable(spark, str(tmp_path / "t"), n_buckets=2)
+    tbl.init(T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ]))
+    batch = "lsn BIGINT, op STRING, conv_id STRING, turn_idx INT, text STRING"
+    tbl.merge_apply(
+        spark.createDataFrame([(1, "I", "c1", 0, "a"), (2, "I", "c2", 0, "b")], batch),
+        {"lsn_hi": 2},
+    )
+    v1 = tbl.current_version()
+    tbl.merge_apply(
+        spark.createDataFrame([(3, "U", "c1", 0, "CHANGED")], batch),
+        {"lsn_hi": 3},
+    )
+    monkeypatch.setattr(sys, "argv", [
+        "profile_job.py", "--target", tbl.path,
+        "--baseline-version", str(v1),
+    ])
+    assert profile_job.main() == 0
+    drift = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert drift["mode"] == "drift"
+    assert drift["drifted_columns"] == ["text"]
+    assert drift["n_drifted"] == 1

@@ -1,0 +1,169 @@
+"""Temporal operators: as-of join, bucketed range join, rollup.
+
+The as-of and range joins are checked against brute-force formulations
+(per-row max-preceding scan / filtered cross join) on seeded data — the
+scalable plan must produce the identical row set. The rollup's coarser
+grains must equal direct aggregation of the raw events at that grain
+(re-aggregation-from-partials correctness).
+"""
+
+import datetime as dt
+import random
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_reconciliate_spark.operators.temporal import (
+    asof_join,
+    range_join_pairs,
+    rollup_timeseries,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts(10), "L10"),
+            (1, _ts(20), "L20"),
+            (1, _ts(5), "L5"),
+            (2, _ts(15), "L15"),
+            (3, _ts(30), "L30"),
+        ],
+        "k int, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(8), 100, "R8"),
+            (1, _ts(20), 200, "R20"),
+            (1, _ts(20), 201, "R20b"),  # tie on (k, ts): max rid wins
+            (2, _ts(40), 300, "R40"),
+        ],
+        "k int, ts timestamp, rid int, rv string",
+    )
+    return left, right
+
+
+def test_asof_basic_and_ties(small):
+    left, right = small
+    out = asof_join(left, right, on="k", right_cols=("rid", "rv"))
+    rows = {r["lv"]: (r["rid_r"], r["rv_r"], r["ts_r"]) for r in out.collect()}
+    assert len(rows) == 5
+    assert rows["L5"] == (None, None, None)  # nothing at or before
+    assert rows["L10"] == (100, "R8", _ts(8))
+    # exact match allowed + tie resolved to max (rid, rv) struct
+    assert rows["L20"] == (201, "R20b", _ts(20))
+    assert rows["L15"] == (None, None, None)  # right row is later
+    assert rows["L30"] == (None, None, None)  # key 3 has no right rows
+
+
+def test_asof_strict_excludes_exact(small):
+    left, right = small
+    out = asof_join(
+        left, right, on="k", right_cols=("rid",), allow_exact_matches=False
+    )
+    rows = {r["lv"]: r["rid_r"] for r in out.collect()}
+    assert rows["L20"] == 100  # the ts=20 right rows are no longer visible
+    assert rows["L10"] == 100
+
+
+def test_asof_tolerance(small):
+    left, right = small
+    out = asof_join(
+        left, right, on="k", right_cols=("rid",), tolerance="5 minutes"
+    )
+    rows = {r["lv"]: r["rid_r"] for r in out.collect()}
+    assert rows["L10"] == 100  # 2 min back: inside tolerance
+    assert rows["L20"] == 201  # exact: inside
+    # L5 has no match at all; unchanged
+    assert rows["L5"] is None
+
+    tight = asof_join(
+        left, right, on="k", right_cols=("rid",), tolerance="1 minute"
+    )
+    rows = {r["lv"]: r["rid_r"] for r in tight.collect()}
+    assert rows["L10"] is None  # 2 min back: match exists but too old
+    assert rows["L20"] == 201  # exact match survives any tolerance
+
+
+def test_asof_equals_bruteforce_seeded(spark):
+    rnd = random.Random(7)
+    left = [(rnd.randrange(6), _ts(rnd.randrange(5000)), i) for i in range(300)]
+    right = [(rnd.randrange(6), _ts(rnd.randrange(5000)), i) for i in range(300)]
+    ldf = spark.createDataFrame(left, "k int, ts timestamp, lid int")
+    rdf = spark.createDataFrame(right, "k int, ts timestamp, rid int")
+    out = asof_join(ldf, rdf, on="k", right_cols=("rid",))
+    got = {r["lid"]: r["rid_r"] for r in out.collect()}
+    assert len(got) == 300
+    for k, ts, lid in left:
+        cands = [(rts, rid) for rk, rts, rid in right if rk == k and rts <= ts]
+        want = max(cands)[1] if cands else None
+        assert got[lid] == want, f"lid={lid}"
+
+
+def test_range_pairs_equal_bruteforce_seeded(spark):
+    rnd = random.Random(13)
+    rows = [(rnd.randrange(5), _ts(rnd.randrange(2000)), i) for i in range(400)]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, eid int")
+    a = df.select("k", "ts", F.col("eid").alias("aid"))
+    b = df.select("k", "ts", F.col("eid").alias("bid"))
+    out = range_join_pairs(
+        a, b, on="k", max_delta="30 minutes", a_cols=("aid",), b_cols=("bid",)
+    )
+    got = {(r["aid_a"], r["bid_b"]) for r in out.collect()}
+    delta = dt.timedelta(minutes=30)
+    want = {
+        (ai, bi)
+        for ka, ta, ai in rows
+        for kb, tb, bi in rows
+        if ka == kb and tb > ta and tb <= ta + delta
+    }
+    assert got == want
+    # no duplicate pairs from the 2-bucket replication
+    assert out.count() == len(got)
+
+
+def test_rollup_partials_match_direct(spark):
+    rnd = random.Random(23)
+    rows = [
+        ("t%d" % rnd.randrange(3), _ts(rnd.randrange(3000)),
+         Decimal(rnd.randrange(1000)) / 100)
+        for _ in range(500)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value decimal(38,6)"
+    )
+    out = rollup_timeseries(ev, grains=("minute", "hour", "day"))
+    for grain in ("hour", "day"):
+        got = {
+            (r["bucket"], r["event_type"]): (r["n_events"], r["sum_value"],
+                                             r["min_value"], r["max_value"])
+            for r in out.filter(F.col("grain") == grain).collect()
+        }
+        direct = {
+            (r["bucket"], r["event_type"]): (r["n"], r["s"], r["mn"], r["mx"])
+            for r in ev.groupBy(
+                F.date_trunc(grain, "ts").alias("bucket"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"),
+                F.min("value").alias("mn"), F.max("value").alias("mx"),
+            )
+            .collect()
+        }
+        assert got == direct, grain
+
+
+def test_asof_plan_has_no_join(spark, small):
+    """The as-of plan must be window-based: no join node anywhere."""
+    left, right = small
+    plan = asof_join(left, right, on="k", right_cols=("rid",))._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Window" in plan
