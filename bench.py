@@ -204,7 +204,10 @@ def main() -> None:
         #   error field.
         try:
             sc_events = int(os.environ.get("BENCH_SCALING_EVENTS", "40000000"))
-            sc_runs = int(os.environ.get("BENCH_SCALING_RUNS", "2"))
+            # 3 brackets (7 legs): the r3b config halved leg wall time,
+            # so a third best-of draw costs the same wall as the old
+            # 2-bracket block and buys another shot at a clean window
+            sc_runs = int(os.environ.get("BENCH_SCALING_RUNS", "3"))
             sc_log = _ensure_log(4 * sc_events)
             # pre-warm the page cache (a cold 22 GB first touch would be
             # charged entirely to the first 4N leg — it reads 4× the
@@ -213,7 +216,35 @@ def main() -> None:
                 f"find {sc_log} -name '*.parquet' -exec cat {{}} + "
                 f"> /dev/null", shell=True, check=False,
             )
-            sconf = {"spark.io.compression.zstd.level": "8"}
+            # Two r3 instrumented findings (BENCH/BASELINE.md, event-log
+            # stage study — both legs 100% CPU-bound, ZERO spill, so the
+            # deltas below are pure per-task-shape effects, not memory):
+            # * constant ROWS PER TASK, not constant partition count: at
+            #   64 partitions for both legs the 4N reduce task holds
+            #   2.55M rows vs the N leg's 637k, and the reduce stage
+            #   (window sort + merge + write) measured 9.7 vs
+            #   3.0 us/event — a 3.2x locality penalty that tanked the
+            #   ratio to 0.67-0.70 whenever the host was quiet. The 4N
+            #   leg now runs 4x the partitions (the AQE
+            #   advisory-partition-size semantic: a real 4x cluster runs
+            #   4x partitions), giving BOTH legs 637k-row tasks and
+            #   identical 32-wave schedules.
+            # * ONE shuffle-writer path for both legs: 64 partitions sits
+            #   under spark.shuffle.sort.bypassMergeThreshold (200), so
+            #   the N leg would use the bypass writer (one zstd-8 stream
+            #   PER REDUCE PARTITION per task — measured 19.8 us/event
+            #   map-side) while the 4N leg at 256 partitions uses the
+            #   sort writer (one stream per task, 13.1 us/event).
+            #   Threshold 1 pins the sort writer everywhere.
+            base_parts = 64
+            sconf = {
+                "spark.io.compression.zstd.level": "8",
+                "spark.shuffle.sort.bypassMergeThreshold": "1",
+                "spark.sql.shuffle.partitions": str(base_parts),
+            }
+            sconf_4n = dict(sconf, **{
+                "spark.sql.shuffle.partitions": str(4 * base_parts),
+            })
             args_4n = ["--dedup-impl", "window",
                        "--slice-size", str(4 * sc_events)]
             args_n = ["--dedup-impl", "window",
@@ -229,7 +260,7 @@ def main() -> None:
             for i in range(sc_runs + 1):
                 legs_4n.append(
                     _replay_once("local-cluster[4,2,16384]", sc_log,
-                                 f"sc4n_{i}", conf=sconf,
+                                 f"sc4n_{i}", conf=sconf_4n,
                                  extra_args=args_4n, events=4 * sc_events)
                 )
                 if i < sc_runs:
@@ -269,15 +300,20 @@ def main() -> None:
                 "efficiency": best_pair["efficiency"],
                 "method": "equal-wall-time legs over one shared log (4N "
                           "replays the full log as one slice, N the first "
-                          "quarter-LSN slice; one slice, one commit, "
-                          "~10 min each) in an A-B-A design: each N leg's "
-                          "4N rate is the mean of its two bracketing 4N "
-                          "legs, cancelling first-order host drift; best "
-                          "bracket reported, every leg persisted. Short "
-                          "4N legs carry fixed driver/JIT cost at 3x the "
-                          "relative weight and cannot average over this "
-                          "host's 1-minute noise bursts "
-                          "(BENCH/BASELINE.md r3 study).",
+                          "quarter-LSN slice; one slice, one commit) in an "
+                          "A-B-A design: each N leg's 4N rate is the mean "
+                          "of its two bracketing 4N legs, cancelling "
+                          "first-order host drift; best bracket reported, "
+                          "every leg persisted. Legs are SHAPE-symmetric: "
+                          "shuffle partitions scale with leg size "
+                          "(constant ~640k rows/task, the AQE "
+                          "advisory-partition-size semantic) and both "
+                          "legs pin the sort shuffle writer "
+                          "(bypassMergeThreshold=1) — at 64 partitions "
+                          "for both, the 4N reduce tasks held 4x the "
+                          "rows (9.7 vs 3.0 us/event) and the N leg "
+                          "used a different shuffle writer "
+                          "(BENCH/BASELINE.md r3/r3b studies).",
                 "runs": draws,
             }
         except Exception as e:  # noqa: BLE001 — degrade, don't sink the bench

@@ -77,13 +77,8 @@ def asof_join(
     carry = F.struct(
         F.col(ts_col).alias(ts_col), *[F.col(c).alias(c) for c in right_cols]
     )
-    # reduce right to ONE row per (key, ts) first — max struct — so the
-    # carry-forward is insensitive to partition-internal row order
-    r = (
-        right.select(*keys, carry.alias(_CARRY))
-        .groupBy(*keys, F.col(f"{_CARRY}.{ts_col}").alias(ts_col))
-        .agg(F.max(_CARRY).alias(_CARRY))
-        .select(*keys, F.col(ts_col), F.col(_CARRY), F.lit(0).alias(_SIDE))
+    r = right.select(
+        *keys, F.col(ts_col), carry.alias(_CARRY), F.lit(0).alias(_SIDE)
     )
     left_cols = left.columns
     l = left.select(
@@ -101,9 +96,13 @@ def asof_join(
             F.col(_CARRY), F.col(_SIDE),
         ).select(*l.columns)
     )
+    # the carry struct itself is the LAST sort key: several right rows at
+    # one (key, ts) sort with the struct-max last in frame, so the
+    # running last() below IS the deterministic max-struct tie-break —
+    # no pre-aggregation of the right side, ONE exchange total
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(ts_col).asc(), side_order)
+        .orderBy(F.col(ts_col).asc(), side_order, F.col(_CARRY).asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = unioned.withColumn(_CARRY, F.last(_CARRY, ignorenulls=True).over(w))
@@ -212,6 +211,12 @@ def rollup_timeseries(
         .agg(*aggs_raw)
         .withColumn("grain", F.lit(grains[0]))
     )
+    if len(grains) > 1:
+        # the finest partials feed BOTH the output union and the coarser
+        # re-aggregation; without this the union recomputes them from raw
+        # (two raw scans — verified in the executed plan). The cached set
+        # is bucket-count-sized, never event-sized.
+        finest = finest.persist()
     levels = [finest]
     for g in grains[1:]:
         prev = levels[-1]

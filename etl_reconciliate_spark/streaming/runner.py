@@ -14,6 +14,15 @@ Scale notes (the 100 TB story):
 * the slice read is pruned by the pushed lsn predicate — cost ∝ slice;
 * ONE shuffle per slice on the key covers both the dedup window and the
   merge join probe side (same partitioning);
+* size ``n_partitions`` for constant rows-per-task (~0.5-1M rows), NOT
+  as a fixed constant: the r3b bench study measured the reduce stage
+  (window sort + merge + write) at 3.2x the per-event CPU when task
+  volume grew 637k → 2.55M rows (sort locality), with zero spill — at
+  cluster scale let AQE's advisory partition size enforce this; and
+  with a heavy shuffle codec (zstd level >= 8) pin the sort shuffle
+  writer (``spark.shuffle.sort.bypassMergeThreshold=1``) — the bypass
+  writer's one-compression-stream-per-partition cost 50% more map CPU
+  at 64 partitions (BENCH/BASELINE.md r3b);
 * the target side of the merge is hash-clustered on the key at write
   time (bucket emulation) — with real Iceberg bucket partitioning +
   storage-partitioned joins that side never shuffles either;
