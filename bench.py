@@ -1,5 +1,9 @@
 #!/usr/bin/env python3
-"""Headline benchmark. Prints ONE JSON line.
+"""Headline benchmark. Prints ONE COMPACT JSON line; the complete
+result (all raw scaling legs, prose method notes) is written to
+``BENCH_result.json`` in the repo root — the printed line must fit the
+driver's ~2 KB tail capture (round-3 verdict item 1), the file has no
+size limit.
 
 Two parts:
 
@@ -379,7 +383,43 @@ def main() -> None:
             "queries": queries,
         }
     )
-    print(json.dumps(out))
+
+    # FULL artifact → a file (r3 verdict item 1: the one printed line
+    # outgrew the driver's ~2 KB tail capture and the scaling block —
+    # the gate evidence — was exactly what got chopped). Everything,
+    # including the per-leg scaling draws and prose, lives here:
+    with open(os.path.join(REPO, "BENCH_result.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+    # PRINTED line: compact. No prose fields, per-query secs at 1
+    # decimal, scaling shrunk to headline numbers + per-draw efficiency
+    # array. Key order puts the gate-critical fields (events_per_sec,
+    # scaling, value/unit) LAST so a tail capture keeps them even if
+    # the front of the line is ever chopped again.
+    compact = {
+        "metric": "CDC replay ev/s + oracle-query suite (full: BENCH_result.json)",
+        "queries": {k: round(v, 1) for k, v in queries.items()},
+        "sf": out["sf"],
+        "events": out.get("events"),
+        "replay_runs": out.get("replay_runs"),
+        "executors": out.get("executors"),
+        "events_per_sec": out.get("events_per_sec"),
+    }
+    sc = out.get("scaling")
+    if sc is not None:
+        compact["scaling"] = (
+            {"error": sc["error"]} if "error" in sc else {
+                "executors_n": sc["executors_n"],
+                "executors_4n": sc["executors_4n"],
+                "events_per_sec_n": sc["events_per_sec_n"],
+                "events_per_sec_4n": sc["events_per_sec_4n"],
+                "draw_efficiencies": [d["efficiency"] for d in sc["runs"]],
+                "efficiency": sc["efficiency"],
+            }
+        )
+    compact["value"] = out["value"]
+    compact["unit"] = "sec"
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

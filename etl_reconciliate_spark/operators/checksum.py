@@ -27,10 +27,14 @@ sentinels (``concat_ws`` alone would let ('a', NULL, 'b') collide with
 ('a', 'b', NULL)).
 
 Guarantee: the drill-down's non-MATCH set equals the full row-level
-reconcile's non-MATCH set exactly, modulo 60-bit XOR-digest collisions
-(a differing block reading equal requires the XOR of the differing
-row-hash sets to cancel — probability ~2^-60 per block, non-adversarial
-data). ``tests/test_checksum.py`` asserts the equality on seeded drift.
+reconcile's non-MATCH set exactly, modulo digest collisions: a
+differing block reading equal requires the differing row-hash multisets
+to cancel under BOTH the 60-bit XOR and the mod-2^31 sum
+simultaneously (~2^-91 per block, non-adversarial data). The sum leg
+exists because XOR alone is blind to even multiplicities — duplicate
+keys on a side that does not enforce uniqueness (a raw parquet source;
+the target table does enforce it) could self-cancel and read clean.
+``tests/test_checksum.py`` asserts the equality on seeded drift.
 """
 
 from __future__ import annotations
@@ -64,11 +68,21 @@ def block_checksums(
     compare_cols: tuple[str, ...] = ("text",),
     n_blocks: int = 4096,
 ) -> DataFrame:
-    """Per-block digest table: (block_id, n_rows, checksum).
+    """Per-block digest table: (block_id, n_rows, checksum, checksum_sum).
 
-    One scan, one n_blocks-row shuffle (XOR + count both combine
+    One scan, one n_blocks-row shuffle (all three aggregates combine
     map-side). ``checksum`` folds keys AND compared payload columns, so
     any value drift — not just key drift — dirties the block.
+
+    ``checksum_sum`` (SUM of the row hash mod 2^31) exists because XOR
+    alone self-cancels on even multiplicities: with DUPLICATE keys in a
+    side (a raw parquet source does not enforce uniqueness — the target
+    side does), row X twice on one side vs row Y twice on the other
+    XORs to 0 = 0 and the counts agree, reading clean (r3 advice). A
+    sum never cancels a repeated value against itself: the blocks-equal
+    condition becomes multiset equality up to simultaneous XOR- and
+    sum-collisions. mod 2^31 keeps the sum exactly representable in
+    int64 on both engines up to 2^32 rows per block.
     """
     keys = key_cols or KEY_COLS
     row_hash = hash60(_canon(keys + list(compare_cols)))
@@ -81,6 +95,7 @@ def block_checksums(
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.expr("bit_xor(_rh)").alias("checksum"),
+            F.sum(F.pmod(F.col("_rh"), F.lit(1 << 31))).alias("checksum_sum"),
         )
     )
 
@@ -89,18 +104,21 @@ def checksum_diff(src_sums: DataFrame, tgt_sums: DataFrame) -> DataFrame:
     """Compare two digest tables → (block_id, src_rows, tgt_rows, dirty).
 
     Input is n_blocks rows per side; the join is broadcast-sized. A
-    block is dirty when either side lacks it, row counts differ, or the
-    XOR digests differ.
+    block is dirty when either side lacks it, row counts differ, or
+    either digest (XOR or sum — see :func:`block_checksums` on why both)
+    differs.
     """
     s = src_sums.select(
         F.col("block_id"),
         F.col("n_rows").alias("src_rows"),
         F.col("checksum").alias("src_checksum"),
+        F.col("checksum_sum").alias("src_checksum_sum"),
     )
     t = tgt_sums.select(
         F.col("block_id"),
         F.col("n_rows").alias("tgt_rows"),
         F.col("checksum").alias("tgt_checksum"),
+        F.col("checksum_sum").alias("tgt_checksum_sum"),
     )
     j = s.join(t, "block_id", "full_outer")
     dirty = (
@@ -108,6 +126,7 @@ def checksum_diff(src_sums: DataFrame, tgt_sums: DataFrame) -> DataFrame:
         | F.col("tgt_rows").isNull()
         | (F.col("src_rows") != F.col("tgt_rows"))
         | (F.col("src_checksum") != F.col("tgt_checksum"))
+        | (F.col("src_checksum_sum") != F.col("tgt_checksum_sum"))
     )
     return j.select(
         "block_id",

@@ -121,6 +121,7 @@ def reconcile_incremental(
     source: DataFrame,
     target: DataFrame,
     changed_keys: DataFrame,
+    broadcast: bool = True,
     **recon_kwargs,
 ) -> DataFrame:
     """Reconcile ONLY the keys touched since a checkpoint.
@@ -135,11 +136,18 @@ def reconcile_incremental(
     O(changed keys), never O(table).
 
     ``changed_keys`` needs only the key columns; extra columns are
-    ignored. For a changed set too large to broadcast, pass it
-    pre-partitioned and drop the broadcast hint — semantics are
-    identical (Spark falls back to a shuffle semi-join).
+    ignored. ``broadcast=True`` hints the changed-key set to every
+    executor — right for the common case (a change window is a sliver
+    of the table) but a large window would hit Spark's broadcast limit
+    or OOM the driver (r3 advice); pass ``broadcast=False`` there and
+    the semi-joins run as ordinary shuffles on the key — identical
+    semantics, cost O(changed keys + table scan). ``jobs/reconcile_job``
+    picks the mode by counting the changed set against
+    ``--changed-broadcast-limit``.
     """
-    ck = F.broadcast(changed_keys.select(*KEY_COLS).distinct())
+    ck = changed_keys.select(*KEY_COLS).distinct()
+    if broadcast:
+        ck = F.broadcast(ck)
     return reconcile(
         source.join(ck, KEY_COLS, "semi"),
         target.join(ck, KEY_COLS, "semi"),

@@ -12,11 +12,13 @@ duplicated-span mass.
 
 Shape at 100 TB: ``explode`` multiplies rows by tokens-per-doc, but each
 exploded row is a (doc_id, 60-bit span hash) pair — ~16 bytes — and the
-groupBy combines map-side, so the shuffle carries distinct span hashes,
-not positions. The flag join shuffles on span_hash (both sides already
-exploded; no broadcast needed — the dup-span table is corpus-sized in
-the worst case). Production refinement: count on a hashed 2^32 space and
-accept counting collisions (the signal is a ratio, not an id).
+corpus is exploded exactly ONCE (r3 verdict item 4): the explode feeds a
+single ``groupBy (doc, span)`` whose output — the distinct-pairs table,
+far smaller than the positional spans — is persisted and reused by both
+downstream consumers (the >1-doc span set and the per-doc dup sums).
+All shuffles combine map-side. Production refinement: count on a hashed
+2^32 space and accept counting collisions (the signal is a ratio, not
+an id).
 
 No floating-point subtleties anywhere: counts and ratios of integers
 (the one division is exact-IEEE double), so the DuckDB oracle matches
@@ -58,6 +60,7 @@ def duplicated_span_stats(
     width: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist_pairs: bool = True,
 ) -> DataFrame:
     """Per-document duplicated-span statistics.
 
@@ -65,26 +68,43 @@ def duplicated_span_stats(
     position counts as duplicated when its ``width``-token content
     appears in MORE THAN ONE distinct document. Documents shorter than
     ``width`` tokens report 0 spans, ratio 0.0.
+
+    One corpus pass: the exploded positional spans collapse immediately
+    into ``pairs`` = (span, doc, n_pos) — one row per distinct span per
+    doc — which is persisted (``persist_pairs``, MEMORY_AND_DISK) and
+    consumed twice: once to find spans seen in >1 doc, once to sum each
+    doc's duplicated positions. Without the persist the lazy plan would
+    re-explode the corpus for each consumer (the r3 two-pass shape);
+    with it the second pass reads the distinct-pairs cache, orders of
+    magnitude smaller than the positional explode. The cache lives
+    until the session drops it; callers running many corpora through a
+    long-lived session can pass ``persist_pairs=False`` (two explodes,
+    zero cache) or unpersist via ``df`` lineage externally.
     """
     spans = docs.select(
         F.col(id_col), F.explode(_span_hashes(F.col(text_col), width)).alias("sh")
     )
-    # distinct docs per span content; map-side combine on (sh, doc) first
+    # the ONLY consumer of the explode: map-side-combined collapse to
+    # distinct (span, doc) with the positional multiplicity kept as n_pos
+    pairs = spans.groupBy("sh", id_col).agg(F.count(F.lit(1)).alias("n_pos"))
+    if persist_pairs:
+        from pyspark import StorageLevel
+
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    # pairs is distinct per (sh, doc): count(*) == countDistinct(doc)
     dup = (
-        spans.groupBy("sh")
-        .agg(F.countDistinct(id_col).alias("n_docs"))
+        pairs.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > 1)
         .select("sh")
     )
-    flagged = spans.join(dup, "sh", "left_semi")
     per_doc = (
-        flagged.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_spans"))
+        pairs.join(dup, "sh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.sum("n_pos").alias("n_dup_spans"))
     )
     # n_spans needs NO explode: it is max(len(tokens) - width + 1, 0) —
-    # pure column algebra on the base scan (one fewer corpus pass than
-    # aggregating the exploded spans; the explode runs twice as-is for
-    # the dup table and the flag join — at 100 TB persist/checkpoint
-    # `spans` to make it once)
+    # pure column algebra on the base scan
     totals = F.greatest(
         F.size(_tokens(F.col(text_col))) - (width - 1), F.lit(0)
     ).cast("long")

@@ -36,6 +36,8 @@ arithmetic that DuckDB reproduces bit-for-bit.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _CARRY = "_asof_carry"
@@ -122,6 +124,36 @@ def asof_join(
     )
 
 
+_CALENDAR_UNIT = re.compile(r"\b(month|year)s?\b", re.IGNORECASE)
+
+
+def range_join_skew_profile(
+    df: DataFrame,
+    on: str | list[str],
+    ts_col: str = "ts",
+    max_delta: str = "1 hour",
+    top_n: int = 20,
+) -> DataFrame:
+    """Per-(key, bucket) row counts for one side of a prospective
+    :func:`range_join_pairs` — the skew pre-flight. ``n_rows²`` of a
+    cell bounds the pairs (and the single-task work) that cell can
+    emit; run this on the larger side before a new-scale range join and
+    treat any cell over ~10⁵ rows as a hot key to pre-thin. One scan,
+    one map-combined aggregation; returns the ``top_n`` hottest cells
+    descending."""
+    keys = [on] if isinstance(on, str) else list(on)
+    width = F.expr(
+        f"unix_micros(timestamp '1970-01-01 00:00:00Z' + INTERVAL {max_delta})"
+    )
+    bucket = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / width)
+    return (
+        df.groupBy(*keys, bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(F.col("n_rows").desc(), *keys, "bucket")
+        .limit(top_n)
+    )
+
+
 def range_join_pairs(
     a: DataFrame,
     b: DataFrame,
@@ -145,8 +177,32 @@ def range_join_pairs(
     hash/sort-merge join. The exact range predicate is applied AFTER
     the equi-join as a cheap filter. A naive ``BETWEEN`` join on key
     only would re-scan every pair of a hot key: O(n_k^2) per key.
+
+    ``max_delta`` must be a FIXED-duration interval (weeks and finer):
+    the bucket width is derived once from the epoch, and a
+    calendar-variable unit (month/year) can span MORE than its
+    epoch-anchored width — e.g. ``'1 year'`` anchored at 1970 is 365
+    days, so a pair straddling a leap day lands 2 buckets apart and
+    would be silently dropped (r3 advice). Such units raise
+    ``ValueError``.
+
+    Hot-bucket bound: the semantics themselves are quadratic within a
+    (key, bucket) cell — a key with n events inside one ``max_delta``
+    window genuinely has O(n²) qualifying pairs, and no partitioning
+    can shrink its own output. Before running at a new scale, check
+    :func:`range_join_skew_profile` for cells whose count² exceeds what
+    one task should emit, and either shorten ``max_delta`` or pre-limit
+    events per key (e.g. dedup bursts) for those keys.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    if _CALENDAR_UNIT.search(max_delta):
+        raise ValueError(
+            f"max_delta={max_delta!r}: calendar-variable units "
+            "(month/year) have no fixed bucket width — a span crossing "
+            "a leap day/short month exceeds the epoch-anchored width "
+            "and the pair is silently dropped. Use days/hours/... "
+            "(fixed durations) instead."
+        )
     width = F.expr(f"unix_micros(timestamp '1970-01-01 00:00:00Z' + INTERVAL {max_delta})")
     # cast: parquet TIMESTAMP_NTZ → session-tz timestamp; bucketing only
     # needs the SAME epoch mapping on both sides, and the exact range
@@ -172,6 +228,28 @@ def range_join_pairs(
     )
 
 
+# the most recent rollup's persisted finest-grain partials; see the
+# cache contract in rollup_timeseries
+_LAST_PARTIALS: DataFrame | None = None
+
+
+def release_rollup_partials() -> None:
+    """Unpersist the finest-grain partials cached by the most recent
+    :func:`rollup_timeseries` call. Call after the rollup result has
+    been materialized (blocking=False semantics: safe even mid-query —
+    Spark recomputes evicted partitions from lineage)."""
+    global _LAST_PARTIALS
+    if _LAST_PARTIALS is not None:
+        try:
+            # blocking: the partials are bucket-count-sized, and async
+            # removal makes cache accounting racy for callers that
+            # check/bound memory right after releasing
+            _LAST_PARTIALS.unpersist(blocking=True)
+        except Exception:  # session already stopped — nothing to release
+            pass
+        _LAST_PARTIALS = None
+
+
 def rollup_timeseries(
     events: DataFrame,
     grains: tuple[str, ...] = ("minute", "hour", "day"),
@@ -191,6 +269,15 @@ def rollup_timeseries(
 
     ``value_col`` should already be exact (decimal) if cross-engine
     value checks matter — sums are re-aggregated associatively.
+
+    Cache contract (r3 verdict item 5): the finest-grain partials are
+    persisted so the output union does not re-scan the raw table once
+    per grain. The cache is bucket-count-sized, but a long-lived
+    session calling this repeatedly would accumulate one such cache per
+    call — so each call releases the PREVIOUS call's partials (module
+    slot), bounding residency to the latest call, and
+    :func:`release_rollup_partials` releases that one too once the
+    caller has materialized (written/collected) the result.
     """
     aggs_raw = [
         F.count(F.lit(1)).alias("n_events"),
@@ -216,7 +303,13 @@ def rollup_timeseries(
         # re-aggregation; without this the union recomputes them from raw
         # (two raw scans — verified in the executed plan). The cached set
         # is bucket-count-sized, never event-sized.
+        # release BEFORE persisting: with an identical input the new
+        # persist would map to the SAME CacheManager entry, and a
+        # release afterwards would evict the fresh cache too
+        release_rollup_partials()  # bound the leak to ONE cached set
         finest = finest.persist()
+        global _LAST_PARTIALS
+        _LAST_PARTIALS = finest
     levels = [finest]
     for g in grains[1:]:
         prev = levels[-1]

@@ -54,6 +54,12 @@ def main() -> int:
                          "discrepancies only (clean blocks are proven MATCH "
                          "by digest)")
     ap.add_argument("--checksum-blocks", type=int, default=4096)
+    ap.add_argument("--changed-broadcast-limit", type=int, default=2_000_000,
+                    help="incremental recon: broadcast the changed-key set "
+                         "when it has at most this many distinct keys; "
+                         "above it the semi-join prune falls back to a "
+                         "shuffle (same semantics, no broadcast/driver "
+                         "size risk on a large change window)")
     ap.add_argument("--changed-since-version", type=int, default=None,
                     help="incremental recon: verify ONLY keys whose target "
                          "state changed since this committed snapshot "
@@ -93,15 +99,23 @@ def main() -> int:
 
         changed = tbl.read_changes(args.changed_since_version).select(
             "conv_id", "turn_idx"
-        )
+        ).distinct()
+        # size-based broadcast decision (r3 advice): the count is one
+        # cheap job over the already-pruned change read, and above the
+        # limit the prune becomes a shuffle semi-join instead of a
+        # driver-collected broadcast
+        n_changed = changed.count()
+        do_broadcast = n_changed <= args.changed_broadcast_limit
         recon = reconcile_incremental(
-            source, target, changed,
+            source, target, changed, broadcast=do_broadcast,
             n_salts=args.salts, hot_threshold=args.hot_threshold,
             comparator=args.comparator,
         )
         out["incremental"] = {
             "since_version": args.changed_since_version,
             "to_version": tbl.current_version(),
+            "changed_keys": n_changed,
+            "broadcast": do_broadcast,
         }
     elif args.strategy == "checksum":
         from pyspark import StorageLevel

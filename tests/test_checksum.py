@@ -101,6 +101,22 @@ def test_null_payload_does_not_collide(spark):
     assert d.filter(F.col("dirty")).count() == 1
 
 
+def test_duplicate_key_self_cancel_caught_by_sum(spark):
+    """XOR alone is blind to even multiplicities: the same key carrying
+    text 'x' TWICE on one side vs 'y' TWICE on the other XORs to 0 = 0
+    with equal counts — clean under the r3 digest. The sum leg
+    (2·h(x) != 2·h(y)) must dirty the block (r3 advice)."""
+    a = _df(spark, [("c", 0, "x"), ("c", 0, "x")])
+    b = _df(spark, [("c", 0, "y"), ("c", 0, "y")])
+    sums_a = block_checksums(a, n_blocks=4)
+    sums_b = block_checksums(b, n_blocks=4)
+    ra, rb = sums_a.collect()[0], sums_b.collect()[0]
+    # the premise: XOR and count genuinely agree on this pair
+    assert ra.checksum == rb.checksum == 0 and ra.n_rows == rb.n_rows
+    d = checksum_diff(sums_a, sums_b)
+    assert d.filter(F.col("dirty")).count() == 1
+
+
 def test_key_cols_guard(spark, drifted):
     src, tgt = drifted
     with pytest.raises(ValueError, match="key_cols"):

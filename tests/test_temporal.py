@@ -167,3 +167,64 @@ def test_asof_plan_has_no_join(spark, small):
     plan = asof_join(left, right, on="k", right_cols=("rid",))._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_range_pairs_rejects_calendar_units(spark):
+    """Month/year have no fixed bucket width (leap days / short months
+    would silently drop cross-bucket pairs — r3 advice): raise."""
+    df = spark.createDataFrame([(1, T0, 1)], "k int, ts timestamp, eid int")
+    for bad in ("1 month", "2 months", "1 year", "1 YEAR"):
+        with pytest.raises(ValueError, match="calendar-variable"):
+            range_join_pairs(df, df, on="k", max_delta=bad)
+    # fixed-duration units pass validation (7 days == the '1 week' span)
+    range_join_pairs(df, df, on="k", max_delta="7 days").count()
+
+
+def test_range_pairs_hot_key_correct_and_profiled(spark):
+    """A key with n events inside ONE max_delta window is inherently
+    O(n²) pairs — the bucketing cannot shrink that output, only keep it
+    an equi-join. Verify the full quadratic pair set IS produced for a
+    deliberately hot key, and that range_join_skew_profile surfaces the
+    cell so a user sees the skew before scaling 100x (r3 verdict
+    item 6)."""
+    from etl_reconciliate_spark.operators.temporal import (
+        range_join_skew_profile,
+    )
+
+    n_hot = 60
+    rows = [(1, _ts(i), i) for i in range(n_hot)]  # all within 1 hour
+    rows += [(2, _ts(i * 400), 1000 + i) for i in range(5)]  # cold key
+    df = spark.createDataFrame(rows, "k int, ts timestamp, eid int")
+    a = df.select("k", "ts", F.col("eid").alias("aid"))
+    b = df.select("k", "ts", F.col("eid").alias("bid"))
+    out = range_join_pairs(
+        a, b, on="k", max_delta="2 hours", a_cols=("aid",), b_cols=("bid",)
+    )
+    # every ordered pair of the hot key qualifies: n*(n-1)/2
+    assert out.filter(F.col("k") == 1).count() == n_hot * (n_hot - 1) // 2
+    prof = range_join_skew_profile(df, on="k", max_delta="2 hours", top_n=3)
+    top = prof.collect()[0]
+    assert top["k"] == 1 and top["n_rows"] == n_hot
+
+
+def test_rollup_partials_released(spark):
+    """The finest-grain partials cache must not accumulate across calls
+    (r3 verdict item 5): a second rollup releases the first call's
+    cache, and release_rollup_partials() drops the last one."""
+    from etl_reconciliate_spark.operators.temporal import (
+        release_rollup_partials,
+    )
+
+    ev = spark.createDataFrame(
+        [("a", T0, Decimal(1)), ("b", _ts(90), Decimal(2))],
+        "event_type string, ts timestamp, value decimal(38,6)",
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    release_rollup_partials()  # drop any partials a PRIOR test left
+    base = jsc.getPersistentRDDs().size()  # caches owned by other tests
+    rollup_timeseries(ev, grains=("minute", "hour")).count()
+    assert jsc.getPersistentRDDs().size() == base + 1
+    rollup_timeseries(ev, grains=("minute", "hour")).count()
+    assert jsc.getPersistentRDDs().size() == base + 1  # previous released
+    release_rollup_partials()
+    assert jsc.getPersistentRDDs().size() == base
