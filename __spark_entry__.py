@@ -2067,6 +2067,32 @@ def q_ts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental continuous-aggregate maintenance: a stale rollup
+    built WITHOUT the eid%17 events is refreshed with just those events'
+    (ts, key) cells; the result must equal the full rollup of ALL
+    events — so the oracle is the SAME direct-aggregation SQL as
+    ts_rollup. Cost shape: only dirty cells re-touch raw."""
+    from etl_reconciliate_spark.operators.temporal import (
+        refresh_rollup,
+        rollup_timeseries,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("value", _dec(F.col("value")))
+    base = ev.filter(F.col("event_id") % 17 != 0)
+    late = ev.filter(F.col("event_id") % 17 == 0)
+    stale = rollup_timeseries(base, grains=("hour", "day"))
+    out = refresh_rollup(
+        ev, stale, late.select("ts", "event_type"), grains=("hour", "day")
+    )
+    return out.select(
+        "grain", "bucket", "event_type", "n_events",
+        _dbl(F.col("sum_value")).alias("sum_value"),
+        _dbl(F.col("min_value")).alias("min_value"),
+        _dbl(F.col("max_value")).alias("max_value"),
+    )
+
+
 SQL_TS_ROLLUP = """
 SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, event_type,
        count(*) AS n_events,
@@ -2152,6 +2178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution_tol": q_asof_attribution_tol,
         "range_funnel_pairs": q_range_funnel_pairs,
         "ts_rollup": q_ts_rollup,
+        "rollup_refresh": q_rollup_refresh,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_session_windows": q_stream_session_windows,
         # cheapest, repeatedly-green entries last (see note above)
@@ -2221,6 +2248,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_attribution_tol": SQL_ASOF_TOL,
         "range_funnel_pairs": SQL_RANGE_PAIRS,
         "ts_rollup": SQL_TS_ROLLUP,
+        "rollup_refresh": SQL_TS_ROLLUP,
         "stream_windowed_counts": SQL_STREAM_WIN,
         "stream_session_windows": SQL_STREAM_SESSION,
         # ann_lsh_topk, ann_ivf_topk: rows-only (approximate top-k is not

@@ -228,26 +228,25 @@ def range_join_pairs(
     )
 
 
-# the most recent rollup's persisted finest-grain partials; see the
-# cache contract in rollup_timeseries
-_LAST_PARTIALS: DataFrame | None = None
+# the most recent rollup/refresh call's persisted partial frames; see
+# the cache contract in rollup_timeseries
+_LAST_PARTIALS: list[DataFrame] = []
 
 
 def release_rollup_partials() -> None:
-    """Unpersist the finest-grain partials cached by the most recent
-    :func:`rollup_timeseries` call. Call after the rollup result has
-    been materialized (blocking=False semantics: safe even mid-query —
-    Spark recomputes evicted partitions from lineage)."""
-    global _LAST_PARTIALS
-    if _LAST_PARTIALS is not None:
+    """Unpersist the partial-aggregate frames cached by the most recent
+    :func:`rollup_timeseries` / :func:`refresh_rollup` call. Call after
+    the result has been materialized (safe even mid-query — Spark
+    recomputes evicted partitions from lineage)."""
+    while _LAST_PARTIALS:
+        df = _LAST_PARTIALS.pop()
         try:
             # blocking: the partials are bucket-count-sized, and async
             # removal makes cache accounting racy for callers that
             # check/bound memory right after releasing
-            _LAST_PARTIALS.unpersist(blocking=True)
+            df.unpersist(blocking=True)
         except Exception:  # session already stopped — nothing to release
             pass
-        _LAST_PARTIALS = None
 
 
 def rollup_timeseries(
@@ -308,8 +307,7 @@ def rollup_timeseries(
         # release afterwards would evict the fresh cache too
         release_rollup_partials()  # bound the leak to ONE cached set
         finest = finest.persist()
-        global _LAST_PARTIALS
-        _LAST_PARTIALS = finest
+        _LAST_PARTIALS.append(finest)
     levels = [finest]
     for g in grains[1:]:
         prev = levels[-1]
@@ -325,3 +323,121 @@ def rollup_timeseries(
         out = out.unionByName(lv)
     return out.select("grain", "bucket", *key_cols,
                       "n_events", "sum_value", "min_value", "max_value")
+
+
+def refresh_rollup(
+    events: DataFrame,
+    rollup: DataFrame,
+    changes: DataFrame,
+    grains: tuple[str, ...] = ("minute", "hour", "day"),
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Incrementally refresh a materialized :func:`rollup_timeseries`
+    after a change set touched the raw events — the CDC-native
+    continuous-aggregate maintenance (TimescaleDB refresh policy /
+    Materialize shape): cost scales with the DRIFT, never the table.
+
+    ``rollup`` is the previously materialized multi-grain output (same
+    ``grains``/``key_cols``); ``changes`` carries one row per touched
+    raw event with at least ``(ts_col, *key_cols)`` — for updates and
+    deletes include the BEFORE image's (ts, keys) too (and the AFTER
+    image's when they moved), since any cell the row ever occupied is
+    stale. The result equals ``rollup_timeseries(events, ...)`` on the
+    current events exactly.
+
+    Invalidate-and-recompute, not delta application: count/sum are
+    retractable but min/max are not (deleting the row that held the
+    minimum cannot be repaired from the old aggregate), so the dirty
+    finest-grain cells are recomputed FROM the current raw events and
+    spliced in; coarser grains recompute their dirty cells from the
+    refreshed finest partials. Shuffle/scan cost:
+
+    * dirty-cell set: one distinct over the change set (tiny; broadcast
+      into every semi-join below);
+    * raw re-scan: only events in dirty finest cells — with the events
+      table time-partitioned the broadcast semi-join on the truncated
+      timestamp partition-prunes to the touched partitions;
+    * each coarser grain aggregates finest PARTIALS of its dirty cells,
+      never raw events.
+    """
+    finest = grains[0]
+    aggs_raw = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(value_col).alias("sum_value"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    ]
+    aggs_partial = [
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    ]
+    keys = list(key_cols)
+    cell = lambda g, src: [  # noqa: E731
+        F.date_trunc(g, F.col(src)).alias("bucket"), *[F.col(k) for k in keys]
+    ]
+
+    dirty = F.broadcast(
+        changes.select(*cell(finest, ts_col)).distinct()
+    )
+    # recompute the dirty finest cells from CURRENT raw events; a cell
+    # whose rows were all deleted simply yields no row and disappears
+    fresh = (
+        events.withColumn("_cb", F.date_trunc(finest, F.col(ts_col)))
+        .join(
+            dirty,
+            on=[F.col("_cb") == dirty.bucket]
+            + [events[k] == dirty[k] for k in keys],
+            how="semi",
+        )
+        .groupBy(*cell(finest, ts_col))
+        .agg(*aggs_raw)
+        .withColumn("grain", F.lit(finest))
+    )
+    kept = rollup.filter(F.col("grain") == finest).join(
+        dirty, on=["bucket", *keys], how="anti"
+    )
+    # every refreshed level feeds BOTH the output union and the next
+    # grain's recompute — persist (bucket-count-sized) so neither the
+    # raw semi-join scan nor the kept anti-join runs once per grain;
+    # same cache contract/release hook as rollup_timeseries
+    release_rollup_partials()
+    level = kept.unionByName(fresh.select(*kept.columns)).persist()
+    _LAST_PARTIALS.append(level)
+    out_levels = [level]
+    dirty_buckets = dirty
+    for g in grains[1:]:
+        dirty_g = F.broadcast(
+            dirty_buckets.select(
+                F.date_trunc(g, F.col("bucket")).alias("bucket"), *keys
+            ).distinct()
+        )
+        fresh_g = (
+            level.withColumn("_cb", F.date_trunc(g, F.col("bucket")))
+            .join(
+                dirty_g,
+                on=[F.col("_cb") == dirty_g.bucket]
+                + [level[k] == dirty_g[k] for k in keys],
+                how="semi",
+            )
+            .groupBy(F.date_trunc(g, F.col("bucket")).alias("bucket"), *keys)
+            .agg(*aggs_partial)
+            .withColumn("grain", F.lit(g))
+        )
+        kept_g = rollup.filter(F.col("grain") == g).join(
+            dirty_g, on=["bucket", *keys], how="anti"
+        )
+        level = kept_g.unionByName(fresh_g.select(*kept_g.columns)).persist()
+        _LAST_PARTIALS.append(level)
+        out_levels.append(level)
+        dirty_buckets = dirty_g
+    out = out_levels[0]
+    for lv in out_levels[1:]:
+        out = out.unionByName(lv)
+    return out.select(
+        "grain", "bucket", *keys, "n_events", "sum_value", "min_value",
+        "max_value",
+    )

@@ -228,3 +228,79 @@ def test_rollup_partials_released(spark):
     assert jsc.getPersistentRDDs().size() == base + 1  # previous released
     release_rollup_partials()
     assert jsc.getPersistentRDDs().size() == base
+
+
+def _rollup_map(df):
+    return {
+        (r["grain"], r["bucket"], r["event_type"]): (
+            r["n_events"], r["sum_value"], r["min_value"], r["max_value"])
+        for r in df.collect()
+    }
+
+
+def test_refresh_rollup_equals_full_recompute(spark):
+    """CDC-native continuous-aggregate maintenance: after inserts,
+    updates (a moved timestamp: before AND after cells dirty), and a
+    delete that empties its cell entirely, refreshing the stale rollup
+    with just the touched (ts, key) rows must equal a full recompute —
+    including min/max, which are NOT retractable from deltas (the
+    operator recomputes dirty cells from raw, so they are exact)."""
+    from etl_reconciliate_spark.operators.temporal import refresh_rollup
+
+    rnd = random.Random(31)
+    v1 = [
+        (i, "t%d" % rnd.randrange(3), _ts(rnd.randrange(3000)),
+         Decimal(rnd.randrange(1000)) / 100)
+        for i in range(400)
+    ]
+    schema = "eid int, event_type string, ts timestamp, value decimal(38,6)"
+    ev1 = spark.createDataFrame(v1, schema)
+    stale = rollup_timeseries(ev1, grains=("minute", "hour", "day"))
+    stale.count()  # "materialize" the v1 rollup
+
+    # v2: delete the SOLE event of some minute-cells (eid % 19), move
+    # eid % 7 events 1500 minutes (update: old+new cells both dirty),
+    # insert 40 new events
+    moved = {i: _ts(rnd.randrange(3000)) for i, *_ in
+             [(r[0],) for r in v1 if r[0] % 7 == 0]}
+    v2 = [
+        (i, t, moved.get(i, ts), v)
+        for i, t, ts, v in v1 if i % 19 != 0
+    ]
+    inserts = [
+        (1000 + i, "t%d" % rnd.randrange(3), _ts(rnd.randrange(3000)),
+         Decimal(rnd.randrange(1000)) / 100)
+        for i in range(40)
+    ]
+    v2 += inserts
+    ev2 = spark.createDataFrame(v2, schema)
+
+    # the change set: every (ts, key) cell a touched row EVER occupied
+    changes = [(t, ts) for i, t, ts, v in v1 if i % 19 == 0 or i % 7 == 0]
+    changes += [(t, moved[i]) for i, t, ts, v in v1 if i % 7 == 0]
+    changes += [(t, ts) for i, t, ts, v in inserts]
+    ch = spark.createDataFrame(changes, "event_type string, ts timestamp")
+
+    got = refresh_rollup(ev2, stale, ch, grains=("minute", "hour", "day"))
+    want = rollup_timeseries(ev2, grains=("minute", "hour", "day"))
+    assert _rollup_map(got) == _rollup_map(want)
+
+
+def test_refresh_rollup_untouched_cells_not_recomputed(spark):
+    """The refresh must read only dirty cells from raw: with an empty
+    change set the output IS the stale rollup (no raw re-aggregation
+    rows), even when raw has drifted — the operator trusts the change
+    feed, which is the point of incremental maintenance."""
+    from etl_reconciliate_spark.operators.temporal import refresh_rollup
+
+    ev1 = spark.createDataFrame(
+        [("a", _ts(0), Decimal(1)), ("b", _ts(70), Decimal(2))],
+        "event_type string, ts timestamp, value decimal(38,6)",
+    )
+    stale = rollup_timeseries(ev1, grains=("minute", "hour"))
+    drifted = ev1.withColumn("value", F.col("value") * 10)  # unreported
+    empty = spark.createDataFrame([], "event_type string, ts timestamp")
+    out = refresh_rollup(drifted, stale, empty, grains=("minute", "hour"))
+    assert _rollup_map(out) == _rollup_map(
+        rollup_timeseries(ev1, grains=("minute", "hour"))
+    )
