@@ -2123,11 +2123,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order under a budget — in r3 it stopped at entry 50, leaving the
     # then-last four entries with no recorded row at all (r3 verdict
     # item 3). The suite itself was made cheaper this round, and as
-    # insurance the entries that have never had a driver row run in the
-    # main body while the cheapest (~0.2 s), twice-green trivia
-    # (token_count, text_fingerprint, bpe_token_count, corpus_split)
-    # run LAST — if a budget ever truncates again, it costs the rows
-    # least worth proving a third time.
+    # insurance every entry that lost (or never had) a driver row —
+    # the two stream aggregates, range_funnel_pairs, ts_rollup — plus
+    # the two new temporal entries sit at position <= 50, while the six
+    # cheapest (~0.2-0.3 s), repeatedly-green trivia run LAST — if a
+    # budget ever truncates again, it costs the rows least worth
+    # proving a third time.
     return {
         "s1_extract_groupby": q_s1_extract_groupby,
         "j4_decorrelated_totals": q_j4_decorrelated_totals,
@@ -2142,7 +2143,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup_latest": q_cdc_dedup_latest,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
-        "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
@@ -2154,7 +2154,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_pairs": q_contamination_pairs,
         "text_repetition": q_text_repetition,
         "pii_scrub": q_pii_scrub,
-        "mixture_sample": q_mixture_sample,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
@@ -2174,18 +2173,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "table_profile": q_table_profile,
         "profile_drift": q_profile_drift,
+        "stream_windowed_counts": q_stream_windowed_counts,
+        "stream_session_windows": q_stream_session_windows,
         "asof_attribution": q_asof_attribution,
         "asof_attribution_tol": q_asof_attribution_tol,
         "range_funnel_pairs": q_range_funnel_pairs,
         "ts_rollup": q_ts_rollup,
         "rollup_refresh": q_rollup_refresh,
-        "stream_windowed_counts": q_stream_windowed_counts,
-        "stream_session_windows": q_stream_session_windows,
         # cheapest, repeatedly-green entries last (see note above)
         "token_count": q_token_count,
         "text_fingerprint": q_text_fingerprint,
         "bpe_token_count": q_bpe_token_count,
         "corpus_split": q_corpus_split,
+        "dedup_exact": q_dedup_exact,
+        "mixture_sample": q_mixture_sample,
     }
 
 

@@ -374,9 +374,15 @@ def connected_components(
     e = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )
+    # materialize the symmetrized edge set ONCE: the loop joins `edges`
+    # every round, and without this the whole upstream pair-generation
+    # lineage (LSH banding + exact-Jaccard verification when called via
+    # dedup_clusters) would re-execute per round — measured as the
+    # dominant cost of the loop, and at 100 TB a full corpus re-scan
+    # per round. Edge-set-sized, same lifecycle as the label frontier.
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    ).distinct().localCheckpoint()
     nodes = edges.select(F.col("src").alias("id")).distinct()
     if ids is not None:
         nodes = (
