@@ -1,0 +1,163 @@
+"""spark-submit entrypoint: continuous-aggregate build + CDC refresh.
+
+Maintains a materialized multi-grain token-volume rollup of the
+transcripts target table — per (time bucket, role): turn count and
+sum/min/max of per-turn whitespace token counts — and refreshes it
+INCREMENTALLY from the table's own CDC-out surface
+(``TargetTable.read_changes``): only the (bucket, role) cells touched
+since the rollup's recorded snapshot version are recomputed
+(``operators.temporal.refresh_rollup``), so a scheduled refresh costs
+O(drift), never a table scan. The reference has no aggregate
+maintenance at all (its only aggregation is the per-batch SUM,
+service/ReconciliationService.java:70-89); this is the operational
+metrics layer a 10^10-event transcript lake needs.
+
+    # initial build (also: unconditional rebuild)
+    spark-submit --py-files engine.zip jobs/rollup_job.py \
+        --target /path/tbl --rollup-dir /path/rollup --grains hour,day
+
+    # scheduled incremental refresh (no-op when the table hasn't moved)
+    ... --target /path/tbl --rollup-dir /path/rollup --refresh
+
+Dirty-cell derivation handles all three change kinds: insert/update
+rows dirty their POSTIMAGE (ts, role) cell, delete rows carry their
+preimage so they dirty the old cell directly, and for updated/deleted
+keys the rollup's recorded FROM-version snapshot is probed (semi-join
+on the changed keys — O(changed)) to dirty the PREIMAGE cells too, so
+a turn whose ``ts``/``role`` itself changed vacates its old cell.
+
+The refreshed rollup is written to a fresh ``data-v{N}`` dir and the
+meta pointer swapped afterwards — a reader following the meta never
+sees a half-written refresh. Prints one JSON line with mode,
+from/to versions, dirty-cell count and rollup row count.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+
+META_NAME = "_rollup_meta.json"
+
+
+def _events_frame(tbl, key_cols, version=None):
+    from pyspark.sql import functions as F
+
+    from etl_reconciliate_spark.operators.textstats import token_count
+
+    df = tbl.read(version=version)
+    return df.filter(F.col("ts").isNotNull()).select(
+        "ts", *key_cols, token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--target", required=True)
+    ap.add_argument("--rollup-dir", required=True)
+    ap.add_argument("--grains", default="hour,day",
+                    help="finest-to-coarsest date_trunc units")
+    ap.add_argument("--key-cols", default="role")
+    ap.add_argument("--refresh", action="store_true",
+                    help="incremental refresh from read_changes since the "
+                         "rollup's recorded version (falls back to a full "
+                         "build when no rollup exists yet)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("cdc_rollup").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from etl_reconciliate_spark.operators.temporal import (
+        refresh_rollup,
+        release_rollup_partials,
+        rollup_timeseries,
+    )
+    from etl_reconciliate_spark.target.table import KEY_COLS, TargetTable
+
+    grains = tuple(g.strip() for g in args.grains.split(",") if g.strip())
+    key_cols = tuple(c.strip() for c in args.key_cols.split(",") if c.strip())
+    tbl = TargetTable(spark, args.target)
+    if not tbl.exists():
+        print(json.dumps({"error": f"no table at {args.target}"}))
+        return 1
+    to_version = tbl.current_version()
+    meta_path = os.path.join(args.rollup_dir, META_NAME)
+    meta = None
+    if args.refresh and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if tuple(meta["grains"]) != grains or tuple(meta["key_cols"]) != key_cols:
+            print(json.dumps({"error": "existing rollup has different "
+                              "grains/key_cols; rebuild without --refresh"}))
+            return 1
+
+    out = {"to_version": to_version, "grains": list(grains),
+           "key_cols": list(key_cols)}
+    os.makedirs(args.rollup_dir, exist_ok=True)
+    data_dir = os.path.join(args.rollup_dir, f"data-v{to_version:06d}")
+
+    if meta is None:
+        out["mode"] = "build"
+        rollup = rollup_timeseries(
+            _events_frame(tbl, key_cols), grains=grains,
+            key_cols=key_cols, value_col="n_tokens",
+        )
+        rollup.write.mode("overwrite").parquet(data_dir)
+    else:
+        from_version = meta["table_version"]
+        out["mode"] = "refresh"
+        out["from_version"] = from_version
+        if from_version == to_version:
+            out["dirty_cells"] = 0
+            out["rollup_rows"] = meta["rollup_rows"]
+            print(json.dumps(out))
+            return 0
+        changes = tbl.read_changes(from_version, to_version)
+        # postimage cells (inserts/updates) + delete preimages (deletes
+        # carry the last-known payload); a null-ts row occupies no cell
+        post = changes.filter(changes["ts"].isNotNull()).select(
+            "ts", *key_cols
+        )
+        # preimage cells of updated/deleted keys, probed from the
+        # snapshot the rollup was built against (semi-join on the
+        # changed keys — O(changed)) — covers a turn whose ts/role
+        # itself moved and must vacate its old cell
+        from pyspark.sql import functions as F
+
+        pre = (
+            tbl.read(version=from_version)
+            .join(changes.select(*KEY_COLS).distinct(), list(KEY_COLS), "semi")
+            .filter(F.col("ts").isNotNull())
+            .select("ts", *key_cols)
+        )
+        dirty = post.unionByName(pre).distinct()
+        out["dirty_cells"] = dirty.count()
+        stale = spark.read.parquet(meta["data_dir"])
+        refreshed = refresh_rollup(
+            _events_frame(tbl, key_cols), stale, dirty, grains=grains,
+            key_cols=key_cols, value_col="n_tokens",
+        )
+        refreshed.write.mode("overwrite").parquet(data_dir)
+        release_rollup_partials()
+
+    rows = spark.read.parquet(data_dir).count()
+    out["rollup_rows"] = rows
+    prev_data = meta["data_dir"] if meta else None
+    with open(meta_path + ".tmp", "w") as f:
+        json.dump({"table_version": to_version, "grains": list(grains),
+                   "key_cols": list(key_cols), "data_dir": data_dir,
+                   "rollup_rows": rows}, f)
+    os.replace(meta_path + ".tmp", meta_path)  # atomic pointer swap
+    if prev_data and os.path.abspath(prev_data) != os.path.abspath(data_dir):
+        shutil.rmtree(prev_data, ignore_errors=True)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
