@@ -462,16 +462,18 @@ SELECT MIN(doc_id) AS doc_id, fingerprint FROM fp GROUP BY fingerprint
 """
 
 
-NGRAM_CAP = 500  # == the full sf0.01 documents table (doc_id 0..499)
+NGRAM_CAP = 300  # fixed doc_id slice at every sf (the quadratic
+# oracle proves LSH exactness; 300 docs prove it as well as 500 at
+# ~2.8x less join work — correctness-suite budget, r3 verdict item 3)
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The O(n²) EXACTNESS ORACLE for the LSH paths — deliberately
-    quadratic, so it runs on a deterministic doc_id cap (the whole table
-    at the sf0.01 correctness gate, a fixed 500-doc slice at larger
-    bench sf): 80 s/round of O(n²) at sf0.1 proved nothing the capped
-    run doesn't (round-2 verdict item 4). The exposed at-scale path is
-    ``dedup_lsh_jaccard``, which still runs UNCAPPED."""
+    quadratic, so it runs on a deterministic fixed doc_id slice
+    (NGRAM_CAP=300 at every sf): 80 s/round of O(n²) at sf0.1 proved
+    nothing the capped run doesn't (round-2 verdict item 4). The
+    exposed at-scale path is ``dedup_lsh_jaccard``, which still runs
+    UNCAPPED."""
     from etl_reconciliate_spark.operators.dedupe_docs import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < NGRAM_CAP)
@@ -1279,7 +1281,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (probing covers the slack) and each kmeans iteration is a Spark job
     return ivf_topk(
         emb, queries, dim=DIM, k=10, n_centroids=16, nprobe=6,
-        max_iter=4, init_mode="random",
+        max_iter=2, init_mode="random",
     )
 
 
