@@ -55,6 +55,22 @@ def _span_hashes(text_col: Column, width: int) -> Column:
     ).otherwise(F.array().cast("array<long>"))
 
 
+# the most recent call's persisted pairs cache — one slot, released by
+# the next call or explicitly via release_span_cache()
+_LAST_PAIRS: list = []
+
+
+def release_span_cache() -> None:
+    """Unpersist the distinct-pairs cache of the most recent
+    :func:`duplicated_span_stats` call (safe any time — Spark
+    recomputes evicted partitions from lineage)."""
+    while _LAST_PAIRS:
+        try:
+            _LAST_PAIRS.pop().unpersist(blocking=True)
+        except Exception:  # session already stopped
+            pass
+
+
 def duplicated_span_stats(
     docs: DataFrame,
     width: int = 8,
@@ -76,10 +92,12 @@ def duplicated_span_stats(
     doc's duplicated positions. Without the persist the lazy plan would
     re-explode the corpus for each consumer (the r3 two-pass shape);
     with it the second pass reads the distinct-pairs cache, orders of
-    magnitude smaller than the positional explode. The cache lives
-    until the session drops it; callers running many corpora through a
-    long-lived session can pass ``persist_pairs=False`` (two explodes,
-    zero cache) or unpersist via ``df`` lineage externally.
+    magnitude smaller than the positional explode. Cache lifecycle:
+    each call releases the PREVIOUS call's cache (bounding residency to
+    one corpus in a long-lived session), and
+    :func:`release_span_cache` releases the last one once the result is
+    materialized; ``persist_pairs=False`` opts out entirely (two
+    explodes, zero cache).
     """
     spans = docs.select(
         F.col(id_col), F.explode(_span_hashes(F.col(text_col), width)).alias("sh")
@@ -90,7 +108,12 @@ def duplicated_span_stats(
     if persist_pairs:
         from pyspark import StorageLevel
 
+        # release BEFORE persisting: an identical corpus would map to
+        # the same CacheManager entry, and releasing afterwards would
+        # evict the fresh cache too
+        release_span_cache()
         pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        _LAST_PAIRS.append(pairs)
     # pairs is distinct per (sh, doc): count(*) == countDistinct(doc)
     dup = (
         pairs.groupBy("sh")

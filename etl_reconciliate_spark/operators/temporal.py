@@ -127,6 +127,20 @@ def asof_join(
 _CALENDAR_UNIT = re.compile(r"\b(month|year)s?\b", re.IGNORECASE)
 
 
+def _require_fixed_duration(max_delta: str) -> None:
+    """Reject calendar-variable interval units (shared by
+    range_join_pairs and its skew pre-flight — the pre-flight must not
+    accept a delta the join itself will refuse)."""
+    if _CALENDAR_UNIT.search(max_delta):
+        raise ValueError(
+            f"max_delta={max_delta!r}: calendar-variable units "
+            "(month/year) have no fixed bucket width — a span crossing "
+            "a leap day/short month exceeds the epoch-anchored width "
+            "and the pair is silently dropped. Use days/hours/... "
+            "(fixed durations) instead."
+        )
+
+
 def range_join_skew_profile(
     df: DataFrame,
     on: str | list[str],
@@ -142,6 +156,7 @@ def range_join_skew_profile(
     one map-combined aggregation; returns the ``top_n`` hottest cells
     descending."""
     keys = [on] if isinstance(on, str) else list(on)
+    _require_fixed_duration(max_delta)
     width = F.expr(
         f"unix_micros(timestamp '1970-01-01 00:00:00Z' + INTERVAL {max_delta})"
     )
@@ -195,14 +210,7 @@ def range_join_pairs(
     events per key (e.g. dedup bursts) for those keys.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    if _CALENDAR_UNIT.search(max_delta):
-        raise ValueError(
-            f"max_delta={max_delta!r}: calendar-variable units "
-            "(month/year) have no fixed bucket width — a span crossing "
-            "a leap day/short month exceeds the epoch-anchored width "
-            "and the pair is silently dropped. Use days/hours/... "
-            "(fixed durations) instead."
-        )
+    _require_fixed_duration(max_delta)
     width = F.expr(f"unix_micros(timestamp '1970-01-01 00:00:00Z' + INTERVAL {max_delta})")
     # cast: parquet TIMESTAMP_NTZ → session-tz timestamp; bucketing only
     # needs the SAME epoch mapping on both sides, and the exact range
@@ -228,9 +236,35 @@ def range_join_pairs(
     )
 
 
-# the most recent rollup/refresh call's persisted partial frames; see
-# the cache contract in rollup_timeseries
+def _rollup_aggs_raw(value_col: str) -> list[Column]:
+    """The raw-event aggregates of a rollup cell — shared by build and
+    incremental refresh so the two can never desynchronize."""
+    return [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(value_col).alias("sum_value"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    ]
+
+
+def _rollup_aggs_partial() -> list[Column]:
+    """Re-aggregation of finer partials (count→sum, sum/min/max
+    re-applied) — the associative twin of :func:`_rollup_aggs_raw`."""
+    return [
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    ]
+
+
+# the most recent rollup call's persisted partial frames and the most
+# recent refresh's level caches (separate slots: a refresh may consume a
+# not-yet-materialized rollup whose partials live in the first slot and
+# must NOT be evicted by the refresh itself); see the cache contract in
+# rollup_timeseries
 _LAST_PARTIALS: list[DataFrame] = []
+_LAST_REFRESH: list[DataFrame] = []
 
 
 def release_rollup_partials() -> None:
@@ -238,8 +272,8 @@ def release_rollup_partials() -> None:
     :func:`rollup_timeseries` / :func:`refresh_rollup` call. Call after
     the result has been materialized (safe even mid-query — Spark
     recomputes evicted partitions from lineage)."""
-    while _LAST_PARTIALS:
-        df = _LAST_PARTIALS.pop()
+    while _LAST_PARTIALS or _LAST_REFRESH:
+        df = (_LAST_PARTIALS or _LAST_REFRESH).pop()
         try:
             # blocking: the partials are bucket-count-sized, and async
             # removal makes cache accounting racy for callers that
@@ -278,18 +312,8 @@ def rollup_timeseries(
     :func:`release_rollup_partials` releases that one too once the
     caller has materialized (written/collected) the result.
     """
-    aggs_raw = [
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(value_col).alias("sum_value"),
-        F.min(value_col).alias("min_value"),
-        F.max(value_col).alias("max_value"),
-    ]
-    aggs_partial = [
-        F.sum("n_events").alias("n_events"),
-        F.sum("sum_value").alias("sum_value"),
-        F.min("min_value").alias("min_value"),
-        F.max("max_value").alias("max_value"),
-    ]
+    aggs_raw = _rollup_aggs_raw(value_col)
+    aggs_partial = _rollup_aggs_partial()
     finest = (
         events.groupBy(
             F.date_trunc(grains[0], F.col(ts_col)).alias("bucket"), *key_cols
@@ -305,7 +329,11 @@ def rollup_timeseries(
         # release BEFORE persisting: with an identical input the new
         # persist would map to the SAME CacheManager entry, and a
         # release afterwards would evict the fresh cache too
-        release_rollup_partials()  # bound the leak to ONE cached set
+        while _LAST_PARTIALS:  # bound the leak to ONE cached set (own
+            try:               # slot only — a held refresh result keeps
+                _LAST_PARTIALS.pop().unpersist(blocking=True)  # its caches)
+            except Exception:
+                pass
         finest = finest.persist()
         _LAST_PARTIALS.append(finest)
     levels = [finest]
@@ -363,50 +391,55 @@ def refresh_rollup(
       never raw events.
     """
     finest = grains[0]
-    aggs_raw = [
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(value_col).alias("sum_value"),
-        F.min(value_col).alias("min_value"),
-        F.max(value_col).alias("max_value"),
-    ]
-    aggs_partial = [
-        F.sum("n_events").alias("n_events"),
-        F.sum("sum_value").alias("sum_value"),
-        F.min("min_value").alias("min_value"),
-        F.max("max_value").alias("max_value"),
-    ]
+    aggs_raw = _rollup_aggs_raw(value_col)
+    aggs_partial = _rollup_aggs_partial()
     keys = list(key_cols)
     cell = lambda g, src: [  # noqa: E731
         F.date_trunc(g, F.col(src)).alias("bucket"), *[F.col(k) for k in keys]
     ]
+
+    def cell_match(left, right, left_bucket="bucket"):
+        # NULL-SAFE equality throughout: key columns are nullable in
+        # real tables (and a null ts yields a null bucket) — groupBy
+        # treats NULL as a grouping value, so a (bucket, NULL) cell is a
+        # real cell that plain `==` could neither invalidate (semi) nor
+        # splice out (anti), silently freezing it stale
+        return [left[left_bucket].eqNullSafe(right["bucket"])] + [
+            left[k].eqNullSafe(right[k]) for k in keys
+        ]
+
+    # release only the PREVIOUS refresh's caches — NOT _LAST_PARTIALS:
+    # the caller's `rollup` argument may be a not-yet-materialized
+    # rollup_timeseries output whose persisted partials live there, and
+    # evicting them would bring back the per-grain raw re-scan
+    while _LAST_REFRESH:
+        try:
+            _LAST_REFRESH.pop().unpersist(blocking=True)
+        except Exception:
+            pass
 
     dirty = F.broadcast(
         changes.select(*cell(finest, ts_col)).distinct()
     )
     # recompute the dirty finest cells from CURRENT raw events; a cell
     # whose rows were all deleted simply yields no row and disappears
+    ev = events.withColumn("_cb", F.date_trunc(finest, F.col(ts_col)))
     fresh = (
-        events.withColumn("_cb", F.date_trunc(finest, F.col(ts_col)))
-        .join(
-            dirty,
-            on=[F.col("_cb") == dirty.bucket]
-            + [events[k] == dirty[k] for k in keys],
-            how="semi",
-        )
+        ev.join(dirty, on=cell_match(ev, dirty, "_cb"), how="semi")
         .groupBy(*cell(finest, ts_col))
         .agg(*aggs_raw)
         .withColumn("grain", F.lit(finest))
     )
-    kept = rollup.filter(F.col("grain") == finest).join(
-        dirty, on=["bucket", *keys], how="anti"
+    rollup_f = rollup.filter(F.col("grain") == finest)
+    kept = rollup_f.join(
+        dirty, on=cell_match(rollup_f, dirty), how="anti"
     )
     # every refreshed level feeds BOTH the output union and the next
     # grain's recompute — persist (bucket-count-sized) so neither the
     # raw semi-join scan nor the kept anti-join runs once per grain;
-    # same cache contract/release hook as rollup_timeseries
-    release_rollup_partials()
+    # released on the next refresh or via release_rollup_partials()
     level = kept.unionByName(fresh.select(*kept.columns)).persist()
-    _LAST_PARTIALS.append(level)
+    _LAST_REFRESH.append(level)
     out_levels = [level]
     dirty_buckets = dirty
     for g in grains[1:]:
@@ -415,23 +448,19 @@ def refresh_rollup(
                 F.date_trunc(g, F.col("bucket")).alias("bucket"), *keys
             ).distinct()
         )
+        lv_b = level.withColumn("_cb", F.date_trunc(g, F.col("bucket")))
         fresh_g = (
-            level.withColumn("_cb", F.date_trunc(g, F.col("bucket")))
-            .join(
-                dirty_g,
-                on=[F.col("_cb") == dirty_g.bucket]
-                + [level[k] == dirty_g[k] for k in keys],
-                how="semi",
-            )
+            lv_b.join(dirty_g, on=cell_match(lv_b, dirty_g, "_cb"), how="semi")
             .groupBy(F.date_trunc(g, F.col("bucket")).alias("bucket"), *keys)
             .agg(*aggs_partial)
             .withColumn("grain", F.lit(g))
         )
-        kept_g = rollup.filter(F.col("grain") == g).join(
-            dirty_g, on=["bucket", *keys], how="anti"
+        rollup_g = rollup.filter(F.col("grain") == g)
+        kept_g = rollup_g.join(
+            dirty_g, on=cell_match(rollup_g, dirty_g), how="anti"
         )
         level = kept_g.unionByName(fresh_g.select(*kept_g.columns)).persist()
-        _LAST_PARTIALS.append(level)
+        _LAST_REFRESH.append(level)
         out_levels.append(level)
         dirty_buckets = dirty_g
     out = out_levels[0]

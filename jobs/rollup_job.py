@@ -87,10 +87,13 @@ def main() -> int:
         return 1
     to_version = tbl.current_version()
     meta_path = os.path.join(args.rollup_dir, META_NAME)
-    meta = None
-    if args.refresh and os.path.exists(meta_path):
+    prior_meta = None  # whatever exists on disk — used for cleanup
+    if os.path.exists(meta_path):
         with open(meta_path) as f:
-            meta = json.load(f)
+            prior_meta = json.load(f)
+    meta = None  # the refresh base, only when refreshing is possible
+    if args.refresh and prior_meta is not None:
+        meta = prior_meta
         if tuple(meta["grains"]) != grains or tuple(meta["key_cols"]) != key_cols:
             print(json.dumps({"error": "existing rollup has different "
                               "grains/key_cols; rebuild without --refresh"}))
@@ -101,22 +104,34 @@ def main() -> int:
     os.makedirs(args.rollup_dir, exist_ok=True)
     data_dir = os.path.join(args.rollup_dir, f"data-v{to_version:06d}")
 
+    if meta is not None:
+        from_version = meta["table_version"]
+        out["mode"] = "refresh"
+        out["from_version"] = from_version
+        try:
+            tbl.metadata(from_version)
+        except FileNotFoundError:
+            # the rollup's recorded snapshot was expired
+            # (expire_snapshots) — read_changes cannot diff against it,
+            # so degrade to a full rebuild instead of dying with a
+            # traceback and no JSON line
+            out["mode"] = "rebuild_expired_base"
+            meta = None
+
     if meta is None:
-        out["mode"] = "build"
+        out.setdefault("mode", "build")
         rollup = rollup_timeseries(
             _events_frame(tbl, key_cols), grains=grains,
             key_cols=key_cols, value_col="n_tokens",
         )
         rollup.write.mode("overwrite").parquet(data_dir)
+    elif meta["table_version"] == to_version:
+        out["dirty_cells"] = 0
+        out["rollup_rows"] = meta["rollup_rows"]
+        print(json.dumps(out))
+        return 0
     else:
         from_version = meta["table_version"]
-        out["mode"] = "refresh"
-        out["from_version"] = from_version
-        if from_version == to_version:
-            out["dirty_cells"] = 0
-            out["rollup_rows"] = meta["rollup_rows"]
-            print(json.dumps(out))
-            return 0
         changes = tbl.read_changes(from_version, to_version)
         # postimage cells (inserts/updates) + delete preimages (deletes
         # carry the last-known payload); a null-ts row occupies no cell
@@ -147,7 +162,9 @@ def main() -> int:
 
     rows = spark.read.parquet(data_dir).count()
     out["rollup_rows"] = rows
-    prev_data = meta["data_dir"] if meta else None
+    # clean up whatever data dir the PRIOR meta pointed at (covers both
+    # refresh and rebuild-over-existing, which previously orphaned it)
+    prev_data = prior_meta["data_dir"] if prior_meta else None
     with open(meta_path + ".tmp", "w") as f:
         json.dump({"table_version": to_version, "grains": list(grains),
                    "key_cols": list(key_cols), "data_dir": data_dir,

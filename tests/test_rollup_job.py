@@ -107,3 +107,55 @@ def test_rollup_refresh_grain_mismatch_rejected(spark, tmp_path, capsys,
     assert rollup_job.main() == 1
     assert "different" in json.loads(
         capsys.readouterr().out.strip().splitlines()[-1])["error"]
+
+
+def test_rollup_refresh_expired_base_rebuilds(spark, tmp_path, capsys,
+                                              monkeypatch):
+    """When expire_snapshots removed the rollup's recorded snapshot,
+    --refresh degrades to a full rebuild with a JSON line, not a
+    traceback (code-review r4)."""
+    tbl = TargetTable(spark, str(tmp_path / "t"), n_buckets=2, mode="mor")
+    tbl.init(SCHEMA)
+    tbl.merge_apply(spark.createDataFrame(
+        [(1, "I", "c1", 0, "user", "hello there", _ts(0))], BATCH),
+        {"lsn_hi": 1})
+    rdir = str(tmp_path / "rollup")
+    _run(monkeypatch, capsys, "--target", tbl.path, "--rollup-dir", rdir)
+    v_built = tbl.current_version()
+    for i in range(2, 5):
+        tbl.merge_apply(spark.createDataFrame(
+            [(i, "I", f"c{i}", 0, "user", "more text", _ts(i))], BATCH),
+            {"lsn_hi": i})
+    tbl.expire_snapshots(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        tbl.metadata(v_built)  # premise: the base really is gone
+    out = _run(monkeypatch, capsys, "--target", tbl.path,
+               "--rollup-dir", rdir, "--refresh")
+    assert out["mode"] == "rebuild_expired_base"
+    assert out["rollup_rows"] > 0
+    # and the refreshed materialization equals a from-scratch build
+    fresh = str(tmp_path / "fresh")
+    _run(monkeypatch, capsys, "--target", tbl.path, "--rollup-dir", fresh)
+    assert _rollup_rows(spark, rdir) == _rollup_rows(spark, fresh)
+
+
+def test_rollup_rebuild_cleans_previous_data_dir(spark, tmp_path, capsys,
+                                                 monkeypatch):
+    """A rebuild over an existing rollup must remove the superseded
+    data-v{N} dir, not orphan it (code-review r4)."""
+    import os
+
+    tbl = TargetTable(spark, str(tmp_path / "t"), n_buckets=2, mode="mor")
+    tbl.init(SCHEMA)
+    tbl.merge_apply(spark.createDataFrame(
+        [(1, "I", "c1", 0, "user", "hello", _ts(0))], BATCH), {"lsn_hi": 1})
+    rdir = str(tmp_path / "rollup")
+    _run(monkeypatch, capsys, "--target", tbl.path, "--rollup-dir", rdir)
+    old_meta = json.load(open(f"{rdir}/{rollup_job.META_NAME}"))
+    tbl.merge_apply(spark.createDataFrame(
+        [(2, "I", "c2", 0, "user", "bye", _ts(1))], BATCH), {"lsn_hi": 2})
+    # rebuild WITHOUT --refresh (e.g. to change grains)
+    _run(monkeypatch, capsys, "--target", tbl.path, "--rollup-dir", rdir,
+         "--grains", "minute,hour")
+    assert not os.path.exists(old_meta["data_dir"])
+    assert _rollup_rows(spark, rdir)  # new rollup readable

@@ -304,3 +304,38 @@ def test_refresh_rollup_untouched_cells_not_recomputed(spark):
     assert _rollup_map(out) == _rollup_map(
         rollup_timeseries(ev1, grains=("minute", "hour"))
     )
+
+
+def test_refresh_rollup_null_key_cell(spark):
+    """groupBy treats NULL as a real grouping value, so a (bucket,
+    NULL-key) cell exists and must be invalidated/spliced like any
+    other — plain == joins would freeze it stale (code-review r4)."""
+    from etl_reconciliate_spark.operators.temporal import refresh_rollup
+
+    schema = "event_type string, ts timestamp, value decimal(38,6)"
+    v1 = [("a", _ts(0), Decimal(1)), (None, _ts(1), Decimal(2))]
+    ev1 = spark.createDataFrame(v1, schema)
+    stale = rollup_timeseries(ev1, grains=("minute", "hour"))
+    stale.count()
+    # a second NULL-key event lands in the same minute cell
+    v2 = v1 + [(None, _ts(1), Decimal(5))]
+    ev2 = spark.createDataFrame(v2, schema)
+    ch = spark.createDataFrame([(None, _ts(1))], "event_type string, ts timestamp")
+    got = refresh_rollup(ev2, stale, ch, grains=("minute", "hour"))
+    want = rollup_timeseries(ev2, grains=("minute", "hour"))
+    assert _rollup_map(got) == _rollup_map(want)
+    # the NULL-key cell really was updated, not kept stale
+    row = [r for r in got.collect()
+           if r["grain"] == "minute" and r["event_type"] is None][0]
+    assert row["n_events"] == 2 and row["sum_value"] == Decimal(7)
+
+
+def test_skew_profile_rejects_calendar_units(spark):
+    """The pre-flight must refuse what the join itself refuses."""
+    from etl_reconciliate_spark.operators.temporal import (
+        range_join_skew_profile,
+    )
+
+    df = spark.createDataFrame([(1, T0, 1)], "k int, ts timestamp, eid int")
+    with pytest.raises(ValueError, match="calendar-variable"):
+        range_join_skew_profile(df, on="k", max_delta="1 month")
