@@ -152,7 +152,8 @@ class TargetTable:
     ):
         self.spark = spark
         self.path = path
-        self.n_buckets = n_buckets
+        self._n_buckets_arg = n_buckets
+        self._n_buckets_cache: int | None = None
         self._init_mode = mode
         self.compact_threshold = compact_threshold
         self.ordered_commits = ordered_commits
@@ -161,6 +162,27 @@ class TargetTable:
 
     def mode(self) -> str:
         return self.metadata().get("mode", "cow")
+
+    @property
+    def n_buckets(self) -> int:
+        """The table's hash-bucket count — a TABLE property fixed at
+        init, NOT a per-writer setting: every data/delta dir must share
+        one count or read_keys' bucket pruning opens the wrong part
+        files (r4 core review: writers used to impose their constructor
+        arg, so a maintainer constructed with a different
+        shuffle-partitions default silently broke point lookups). An
+        existing table's recorded count always wins; the constructor
+        arg only applies at init time."""
+        if self._n_buckets_cache is not None:
+            return self._n_buckets_cache
+        try:
+            recorded = self.metadata().get("n_buckets")
+        except (FileNotFoundError, OSError):
+            return self._n_buckets_arg  # table not initialized yet
+        if recorded is not None:
+            self._n_buckets_cache = int(recorded)
+            return self._n_buckets_cache
+        return self._n_buckets_arg
 
     # ------------------------------------------------------------ state
     @property
@@ -181,7 +203,17 @@ class TargetTable:
         if version is None:
             version = self.current_version()
         with open(self._meta_path(version)) as f:
-            return json.load(f)
+            body = f.read()
+        if not body.strip():
+            # an EMPTY vNNNNNN.json is a concurrent writer's O_EXCL
+            # claim placeholder (see _commit), not published metadata —
+            # surface it as not-found so readers/expire treat the
+            # version as nonexistent instead of dying on JSON parse
+            raise FileNotFoundError(
+                f"version {version} of {self.path} is claimed but not "
+                f"yet published"
+            )
+        return json.loads(body)
 
     def schema(self) -> T.StructType:
         """Current user-facing schema (no metadata columns)."""
@@ -571,7 +603,17 @@ class TargetTable:
         if not self.exists():
             raise RuntimeError(f"target table at {self.path} not initialized")
 
-        cur_schema = self.schema()
+        # ONE metadata read pins EVERYTHING this merge derives from —
+        # schema basis, read snapshot, delta list, and the commit slot
+        # (base version + 1). Re-reading current_version() at commit
+        # time was a lost-update TOCTOU (r4 core review): a writer that
+        # committed between our state read and our slot computation
+        # would be silently overwritten instead of conflicting. With
+        # the slot pinned to the SNAPSHOT WE READ, any racing commit
+        # takes our slot first and the O_EXCL claim raises
+        # CommitConflictError -> merge_apply retries from fresh state.
+        base_meta = self.metadata()
+        cur_schema = T.StructType.fromJson(base_meta["schema"])
         # key columns NEVER evolve implicitly (ADVICE r2): a batch whose
         # key type differs from the table's — wider (long turn_idx vs
         # int) or narrower — fails loudly instead of being silently cast
@@ -611,10 +653,11 @@ class TargetTable:
             + [T.StructField(f_.name, f_.dataType, True) for f_ in new_fields]
         )
 
-        if self.mode() == "mor":
-            return self._merge_mor(batch, evolved, offsets)
+        if base_meta.get("mode", "cow") == "mor":
+            return self._merge_mor(batch, evolved, offsets, base_meta)
 
-        tgt = self.read(include_meta=True)  # padded to latest committed schema
+        # read pinned to the SAME snapshot the commit slot is derived from
+        tgt = self.read(include_meta=True, version=base_meta["version"])
         # pad missing columns and cast widened ones (both the stored side
         # and an old-epoch batch may be narrower than the evolved schema)
         tgt = _conform(tgt, evolved)
@@ -647,7 +690,7 @@ class TargetTable:
         ]
         merged = joined.select(out_cols)
 
-        version = self.current_version() + 1
+        version = base_meta["version"] + 1
         data_dir = f"snap-{version:06d}-{uuid.uuid4().hex[:8]}"
         out_path = os.path.join(self.path, data_dir)
         # Hash-cluster files on the key (emulating Iceberg bucket
@@ -669,7 +712,10 @@ class TargetTable:
         ).mode("overwrite").parquet(
             out_path
         )
-        row_count = int(obs.get["live"] or 0)
+        # _observed_live: AQE can eliminate the CollectMetrics node on an
+        # empty plan (the failure compact() and stream_runner hit) — the
+        # helper falls back to counting the written files
+        row_count = self._observed_live(obs, out_path)
         self._commit(
             version, evolved, data_dir, offsets,
             row_count=row_count, parent=version - 1,
@@ -677,13 +723,18 @@ class TargetTable:
         )
         return {"version": version, "row_count": row_count, "data_dir": data_dir}
 
-    def _merge_mor(self, batch: DataFrame, evolved: T.StructType, offsets: dict) -> dict:
+    def _merge_mor(
+        self, batch: DataFrame, evolved: T.StructType, offsets: dict,
+        meta: dict,
+    ) -> dict:
         """Merge-on-read apply: append the deduped batch as a delta file
         set (hash-clustered on the key, like the base); O(slice) write
         cost regardless of table size. Winner resolution happens at read
         time; compaction folds deltas into the base every
-        ``compact_threshold`` commits."""
-        meta = self.metadata()
+        ``compact_threshold`` commits. ``meta`` is the SAME metadata
+        snapshot the caller derived the schema from — the commit slot is
+        meta["version"]+1 so a racing writer conflicts instead of having
+        its delta silently dropped from the list (r4 core review)."""
         src = _conform(batch, evolved)
         delta_rows = (
             src.select(
@@ -692,7 +743,7 @@ class TargetTable:
                 (F.col("op") == F.lit("D")).alias(META_DELETED),
             )
         )
-        version = self.current_version() + 1
+        version = meta["version"] + 1
         delta_dir = f"delta-{version:06d}-{uuid.uuid4().hex[:8]}"
         out_path = os.path.join(self.path, delta_dir)
         delta_rows.repartition(self.n_buckets, *KEY_COLS).write.option(
@@ -716,7 +767,11 @@ class TargetTable:
         return stats
 
     def compact(self, drop_tombstones: bool | None = None) -> dict:
-        """Fold all deltas into a new base snapshot (MoR maintenance).
+        """Fold all deltas into a new base snapshot (MoR maintenance);
+        on a cow table, act as the tombstone VACUUM (full sorted rewrite
+        dropping ``_deleted`` rows — without it a delete-heavy cow table
+        carries its dead rows into every subsequent full rewrite
+        forever).
 
         ``drop_tombstones`` defaults to ``self.ordered_commits``:
         dropping a tombstone is only safe when nothing older than it can
@@ -725,7 +780,16 @@ class TargetTable:
         if drop_tombstones is None:
             drop_tombstones = self.ordered_commits
         meta = self.metadata()
-        if not meta.get("deltas"):
+        table_mode = meta.get("mode", "cow")
+        if table_mode == "mor" and not meta.get("deltas"):
+            return {"version": meta["version"], "row_count": meta.get("row_count"),
+                    "data_dir": meta["data_dir"], "n_deltas": 0}
+        if table_mode == "cow" and not drop_tombstones:
+            # nothing to fold on a cow table; the only compaction work
+            # is the tombstone vacuum (cow merges retain tombstones so
+            # each MERGE keeps the row-level replay guard — maintenance
+            # reclaims them under the same ordered-commits argument the
+            # MoR drop uses, r4 core review)
             return {"version": meta["version"], "row_count": meta.get("row_count"),
                     "data_dir": meta["data_dir"], "n_deltas": 0}
         schema = T.StructType.fromJson(meta["schema"])
@@ -763,7 +827,7 @@ class TargetTable:
         self._commit(
             version, schema, data_dir, meta.get("offsets", {}),
             row_count=row_count, parent=version - 1,
-            mode="mor", deltas=[],
+            mode=table_mode, deltas=[],
         )
         return {"version": version, "row_count": row_count, "data_dir": data_dir,
                 "n_deltas": 0}
@@ -836,11 +900,15 @@ class TargetTable:
                     f"being committed) by another writer; re-read metadata "
                     f"and retry"
                 ) from None
-        tmp = mp + ".tmp"
+        # UNIQUE temp names: in the stale-claim takeover branch two
+        # writers can both proceed, and a SHARED .tmp path would let one
+        # truncate the inode the other is mid-write on — torn JSON
+        # published by os.replace (r4 core review)
+        tmp = f"{mp}.{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f, indent=1, sort_keys=True)
         os.replace(tmp, mp)
-        ptmp = self._pointer + ".tmp"
+        ptmp = f"{self._pointer}.{uuid.uuid4().hex[:8]}.tmp"
         with open(ptmp, "w") as f:
             f.write(str(version))
         os.replace(ptmp, self._pointer)  # THE atomic commit point
@@ -850,6 +918,10 @@ class TargetTable:
         out = []
         for name in os.listdir(self.path):
             if name.startswith("v") and name.endswith(".json"):
+                # skip claim placeholders (empty files): they are
+                # in-flight commits, not published versions
+                if os.path.getsize(os.path.join(self.path, name)) == 0:
+                    continue
                 out.append(int(name[1:-5]))
         return sorted(out)
 

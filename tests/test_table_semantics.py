@@ -375,3 +375,103 @@ def test_read_keys_version_pinned_and_empty(spark, tmp_path):
     t.merge_apply(_batch(spark, [(2, "U", "c1", 0, "b")]), {"lsn_hi": 2})
     assert t.read_keys([("c1", 0)]).collect()[0]["text"] == "b"
     assert t.read_keys([("c1", 0)], version=v1).collect()[0]["text"] == "a"
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_merge_slot_pinned_to_read_snapshot(spark, tmp_path, mode):
+    """The lost-update TOCTOU (r4 core review): writer B commits BETWEEN
+    writer A's metadata read and A's commit. A's commit slot must derive
+    from the snapshot A actually read — so A CONFLICTS and retries on
+    top of B — not from the live pointer at commit time, which would let
+    A silently overwrite B (cow: B's rows dropped from the full
+    rewrite; mor: B's delta dropped from the delta list)."""
+    path = str(tmp_path / "t")
+    a = TargetTable(spark, path, n_buckets=2, mode=mode)
+    a.init(SCHEMA)
+    a.merge_apply(_batch(spark, [(1, "I", "c1", 0, "base")]), {"lsn_hi": 1})
+    b = TargetTable(spark, path, n_buckets=2)
+
+    real_meta = a.metadata
+    state = {"fired": False}
+
+    def hooked(version=None):
+        m = real_meta(version)
+        if not state["fired"] and version is None:
+            state["fired"] = True
+            b.merge_apply(
+                _batch(spark, [(2, "I", "c2", 0, "from-b")]), {"lsn_hi": 2}
+            )
+        return m
+
+    a.metadata = hooked
+    stats = a.merge_apply(
+        _batch(spark, [(3, "I", "c3", 0, "from-a")]), {"lsn_hi": 3}
+    )
+    assert stats["version"] == 3  # landed ON TOP of B, not instead of it
+    rows = {r["conv_id"]: r["text"] for r in a.read().collect()}
+    assert rows == {"c1": "base", "c2": "from-b", "c3": "from-a"}
+
+
+def test_claim_placeholder_not_a_published_version(spark, tmp_path):
+    """An empty vNNNNNN.json is a concurrent writer's O_EXCL claim, not
+    metadata: versions() must skip it, metadata() must surface
+    not-found, and expire_snapshots must neither crash on it nor
+    remove it (r4 core review)."""
+    t = TargetTable(spark, str(tmp_path / "t"), n_buckets=2, mode="mor")
+    t.init(SCHEMA)
+    for i in range(1, 4):
+        t.merge_apply(_batch(spark, [(i, "I", f"c{i}", 0, "x")]), {"lsn_hi": i})
+    claim = os.path.join(t.path, f"v{t.current_version() + 1:06d}.json")
+    open(claim, "w").close()
+    assert t.current_version() + 1 not in t.versions()
+    with pytest.raises(FileNotFoundError, match="claimed"):
+        t.metadata(t.current_version() + 1)
+    t.expire_snapshots(keep_last=2)  # must not JSONDecodeError
+    assert os.path.exists(claim)  # the claim file itself is untouched
+    assert t.read().count() == 3
+
+
+def test_n_buckets_is_a_table_property(spark, tmp_path):
+    """A handle constructed with a DIFFERENT n_buckets against an
+    existing table adopts the table's recorded count — a maintainer
+    with another shuffle-partitions default must not break read_keys'
+    bucket pruning (r4 core review)."""
+    path = str(tmp_path / "t")
+    a = TargetTable(spark, path, n_buckets=2, mode="mor")
+    a.init(SCHEMA)
+    a.merge_apply(_batch(spark, [(1, "I", "c1", 0, "a")]), {"lsn_hi": 1})
+
+    b = TargetTable(spark, path, n_buckets=7)
+    assert b.n_buckets == 2  # recorded count wins over the arg
+    b.merge_apply(_batch(spark, [(2, "I", "c9", 5, "late")]), {"lsn_hi": 2})
+    got = {(r["conv_id"], r["turn_idx"]): r["text"]
+           for r in a.read_keys([("c1", 0), ("c9", 5)]).collect()}
+    assert got == {("c1", 0): "a", ("c9", 5): "late"}
+
+
+def test_cow_compact_vacuums_tombstones(spark, tmp_path):
+    """A delete-heavy cow table reclaims its tombstones through
+    compact() (the cow vacuum) — merges retain them for the row-level
+    replay guard, maintenance drops them under the ordered-commits
+    argument (r4 core review)."""
+    t = TargetTable(spark, str(tmp_path / "t"), n_buckets=2, mode="cow")
+    t.init(SCHEMA)
+    t.merge_apply(_batch(spark, [(1, "I", "c1", 0, "a"),
+                                 (2, "I", "c2", 0, "b")]), {"lsn_hi": 2})
+    t.merge_apply(_batch(spark, [(3, "D", "c1", 0, None)]), {"lsn_hi": 3})
+    # merge retained the tombstone row
+    assert t.read(include_meta=True).count() == 2
+    stats = t.compact()
+    assert stats["row_count"] == 1
+    assert t.read(include_meta=True).count() == 1  # tombstone reclaimed
+    assert [r["conv_id"] for r in t.read().collect()] == ["c2"]
+    assert t.metadata()["mode"] == "cow"  # mode survives the vacuum
+
+    # out-of-order tables refuse the vacuum (no-op)
+    t2 = TargetTable(spark, str(tmp_path / "t2"), n_buckets=2, mode="cow",
+                     ordered_commits=False)
+    t2.init(SCHEMA)
+    t2.merge_apply(_batch(spark, [(1, "I", "c1", 0, "a")]), {"lsn_hi": 1})
+    v = t2.current_version()
+    t2.compact()
+    assert t2.current_version() == v
