@@ -51,6 +51,13 @@ class ChangeLogSource:
             lo, hi = self._bounds.get(e, (f_["lsn_lo"], f_["lsn_hi"]))
             self._bounds[e] = (min(lo, f_["lsn_lo"]), max(hi, f_["lsn_hi"]))
 
+    def initial_schema(self):
+        """Schema of the EARLIEST epoch (the pre-evolution shape) — the
+        correct basis for initializing a target table whose later
+        columns arrive through schema evolution. Served from the cached
+        epoch DataFrames: no extra read."""
+        return self._dfs[self._epochs[0]].schema
+
     def max_lsn(self) -> int:
         return max((hi for _, hi in self._bounds.values()), default=-1)
 

@@ -78,6 +78,10 @@ def replay(
     n_partitions = n_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    # the agg-dedup exchange (and any other induced shuffle) sizes off
+    # the session conf — pin it so an explicit n_partitions is honored
+    # by both dedup impls, not only the window path's repartition
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
     source = ChangeLogSource(spark, changelog_path)
     table = TargetTable(
         spark,
@@ -90,9 +94,7 @@ def replay(
     if not table.exists():
         # Initial schema = key + payload columns of the earliest epoch;
         # later epochs evolve it (add-column) through merge_apply.
-        first_epoch = spark.read.parquet(
-            f"{changelog_path}/{source._epochs[0]}"
-        ).schema
+        first_epoch = source.initial_schema()
         payload = T.StructType(
             [f for f in first_epoch.fields if f.name not in ("lsn", "op")]
         )
@@ -117,7 +119,11 @@ def replay(
         if dedup_impl == "agg":
             # max_by aggregate: map-side partial combine collapses
             # duplicates pre-shuffle; its exchange hash-partitions by the
-            # merge keys, so no explicit repartition is needed.
+            # merge keys, so no explicit repartition node is needed — but
+            # the exchange's width comes from the SESSION shuffle
+            # partitions, which replay() pins to n_partitions below so
+            # the --partitions knob governs this (the heaviest) stage in
+            # BOTH dedup impls.
             deduped = dedup_max_lsn_agg(raw)
         else:
             deduped = dedup_max_lsn(raw.repartition(n_partitions, *KEY_COLS))
@@ -125,11 +131,21 @@ def replay(
         if collect_lineage:
             deduped, obs = observe_ops(deduped)
         stats = table.merge_apply(deduped, ckpt.offsets_for(hi, lineage))
-        n_events = int(obs_raw.get["n"] or 0)
+        # empty-slice guard (an LSN gap spanning a whole slice — sparse
+        # WAL/Debezium sequences): AQE propagates the empty relation and
+        # eliminates the CollectMetrics nodes, making obs.get raise — the
+        # same failure _observed_live and the stream runner already guard
+        try:
+            n_events = int(obs_raw.get["n"] or 0)
+        except Exception:
+            n_events = 0
         ops = {}
         if obs is not None:
-            got = obs.get
-            ops = {k: got[k] for k in ("I", "U", "D")}
+            try:
+                got = obs.get
+                ops = {k: got[k] for k in ("I", "U", "D")}
+            except Exception:
+                ops = {"I": 0, "U": 0, "D": 0}
         events += n_events
         ckpt.append_manifest(
             {
@@ -154,4 +170,12 @@ def replay(
         "final_lsn": ckpt.last_committed_lsn(),
         "target_rows": table.count_live() if table.exists() else 0,
         "mode": table.mode() if table.exists() else target_mode,
+        # mode is fixed at init: warn when a pre-existing table silently
+        # overrides the requested --target-mode (a cow-vs-mor comparison
+        # on a reused path would otherwise measure one mode twice)
+        **(
+            {"requested_mode_ignored": target_mode}
+            if table.exists() and table.mode() != target_mode
+            else {}
+        ),
     }

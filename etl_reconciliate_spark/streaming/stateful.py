@@ -83,6 +83,7 @@ def session_windows(
     watermark_delay: str | None = None,
     ts_col: str = "ts",
     key_col: str = "user_id",
+    value_col: str = "value",
 ) -> DataFrame:
     """Gap-based session windows per ``key_col`` via native
     ``F.session_window`` (merge rule: an event extends the session iff
@@ -100,7 +101,7 @@ def session_windows(
         df.groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            F.sum(value_col).alias("sum_value"),
         )
         .select(
             key_col,
@@ -201,10 +202,23 @@ def sessionize_transcripts(
             first_ms, last_ms = None, None
             seen = set()
 
-        for pdf in pdfs:
-            pdf = pdf.sort_values("lsn", kind="stable")
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            # ONE concatenated sort: a conversation larger than the
+            # Arrow batch size arrives as several chunks, and sorting
+            # each independently would run the tool-run state machine
+            # out of LSN order across chunk boundaries (r4 review).
+            # Duplicate deliveries of the SAME lsn within the batch
+            # (at-least-once redelivery) are dropped here too — they
+            # would double-count n_events and inflate a tool run.
+            batch = pd.concat(chunks, ignore_index=True)
+            batch = batch.sort_values("lsn", kind="stable")
+            batch = batch[~batch["lsn"].duplicated(keep="first")]
+        else:
+            batch = None
+        if batch is not None:
             for lsn, role, turn_idx, ts in zip(
-                pdf["lsn"], pdf["role"], pdf["turn_idx"], pdf[ts_col]
+                batch["lsn"], batch["role"], batch["turn_idx"], batch[ts_col]
             ):
                 n_events += 1
                 max_lsn = max(max_lsn, int(lsn))

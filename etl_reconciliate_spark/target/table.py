@@ -156,12 +156,34 @@ class TargetTable:
         self._n_buckets_cache: int | None = None
         self._init_mode = mode
         self.compact_threshold = compact_threshold
-        self.ordered_commits = ordered_commits
+        self._ordered_commits_arg = ordered_commits
+        self._ordered_commits_cache: bool | None = None
         self.claim_grace_secs = claim_grace_secs
         self.orphan_grace_secs = orphan_grace_secs
 
     def mode(self) -> str:
         return self.metadata().get("mode", "cow")
+
+    @property
+    def ordered_commits(self) -> bool:
+        """Whether commits are guaranteed LSN-ordered — a TABLE property
+        recorded at commit time, NOT a per-writer setting (r4 core
+        review): the flag gates tombstone dropping, and a maintainer
+        constructed with the default True against a stream-fed
+        (out-of-order) table would otherwise compact away tombstones
+        and let later lower-LSN deliveries resurrect deleted rows. An
+        existing table's recorded value always wins; the constructor
+        arg applies at init."""
+        if self._ordered_commits_cache is not None:
+            return self._ordered_commits_cache
+        try:
+            recorded = self.metadata().get("ordered_commits")
+        except (FileNotFoundError, OSError):
+            return self._ordered_commits_arg
+        if recorded is not None:
+            self._ordered_commits_cache = bool(recorded)
+            return self._ordered_commits_cache
+        return self._ordered_commits_arg
 
     @property
     def n_buckets(self) -> int:
@@ -879,6 +901,10 @@ class TargetTable:
             # recorded so READERS can bucket-prune (read_keys) without
             # having to be constructed with the writer's n_buckets
             "n_buckets": self.n_buckets,
+            # recorded so EVERY writer (incl. maintain_job) inherits the
+            # table's ordering guarantee instead of its own default —
+            # gates whether compaction may drop tombstones
+            "ordered_commits": self.ordered_commits,
         }
         mp = self._meta_path(version)
         # Optimistic concurrency (Iceberg-style CAS): claim the version

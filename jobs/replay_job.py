@@ -45,6 +45,14 @@ def main() -> int:
                     help="mor: fold deltas into the base every N commits")
     ap.add_argument("--dedup-impl", choices=["window", "agg"], default="agg",
                     help="max-LSN dedup: sort window or max_by aggregate")
+    ap.add_argument("--expire-keep", type=int, default=2,
+                    help="keep the newest N snapshots after each slice "
+                         "(0 disables expiry). Raise this — or disable — "
+                         "when a downstream incremental consumer "
+                         "(reconcile_job --changed-since-version, "
+                         "rollup_job --refresh) tracks an older version: "
+                         "expiring its base forces a full "
+                         "re-read/rebuild there")
     ap.add_argument("--max-slices", type=int, default=None,
                     help="stop after N slices (bounded partial replay — "
                          "resume later from the committed offsets; also "
@@ -77,6 +85,7 @@ def main() -> int:
         compact_threshold=args.compact_every,
         dedup_impl=args.dedup_impl,
         max_slices=args.max_slices,
+        expire_keep=args.expire_keep,
     )
     print(json.dumps(stats))
     return 0

@@ -166,3 +166,28 @@ def test_dedup_agg_equals_window(spark, changelog_df):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_replay_with_empty_slices(spark, tmp_path):
+    """Sparse LSN sequences (real WAL/Debezium offsets skip numbers)
+    can leave a whole slice with ZERO events; the replay loop's metric
+    observations must survive AQE eliminating the CollectMetrics node
+    on the empty plan (r4 review) and the final state must still equal
+    the fold oracle."""
+    df = gen_changelog(2_000, seed=7)
+    # stretch into blocks of 100 consecutive LSNs separated by 10k-wide
+    # gaps: with slice_size=5_000 most slices are completely empty
+    df = df.assign(lsn=df["lsn"] + (df["lsn"] // 100) * 10_000)
+    p = str(tmp_path / "sparse_log")
+    write_changelog(spark, df, p)
+    tgt = str(tmp_path / "t")
+    stats = replay(spark, p, tgt, slice_size=5_000, target_mode="mor")
+    assert stats["slices"] > 20  # plenty of empty slices were planned
+    assert stats["events"] == len(df)
+    want = fold_changelog(df)
+    got = read_target(spark, tgt)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "turn_idx", "text"]],
+        want[["conv_id", "turn_idx", "text"]].reset_index(drop=True),
+    )

@@ -321,3 +321,53 @@ def test_stream_sessionize_batch_equivalence_at_scale(spark, tmp_path):
         assert s.max_lsn == max(r[0] for r in ev)
         assert s.first_ts == ev[0][7] and s.last_ts == ev[-1][7]
         assert s.max_tool_run == best, conv
+
+
+def test_stream_sessionize_multichunk_and_duplicates(spark, tmp_path):
+    """Arrow splits a big conversation into several chunks per batch;
+    the tool-run state machine must sort the CONCATENATED batch (chunk-
+    local sorts would split or wrongly join runs across boundaries) and
+    drop duplicate-LSN redeliveries (which would double-count, r4
+    review). maxRecordsPerBatch=3 forces multiple chunks."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        d = str(tmp_path / "log")
+        # written in an order that interleaves a 4-long tool run across
+        # chunk boundaries; lsn 12 is delivered TWICE
+        rows = [
+            (15, "I", "A", 5, "assistant", "end", None, _mins(5)),
+            (11, "I", "A", 1, "tool", "a", "t", _mins(1)),
+            (13, "I", "A", 3, "tool", "c", "t", _mins(3)),
+            (10, "I", "A", 0, "user", "q", None, _mins(0)),
+            (12, "I", "A", 2, "tool", "b", "t", _mins(2)),
+            (12, "I", "A", 2, "tool", "b", "t", _mins(2)),  # duplicate
+            (14, "I", "A", 4, "tool", "d", "t", _mins(4)),
+        ]
+        spark.createDataFrame(rows, CHANGELOG_SCHEMA).coalesce(1).write.parquet(
+            f"{d}/f1"
+        )
+        spark.createDataFrame(
+            [(99, "I", "B", 0, "user", "later", None, _mins(900))],
+            CHANGELOG_SCHEMA,
+        ).coalesce(1).write.parquet(f"{d}/f2")
+        import os, time
+        t = time.time()
+        os.utime(f"{d}/f1", (t - 100, t - 100))
+        stream = (
+            spark.readStream.schema(CHANGELOG_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(d)
+        )
+        out = sessionize_transcripts(stream, gap_seconds=1800,
+                                     watermark_delay="30 minutes")
+        _drain(out, "sess_chunks")
+        got = {r.conv_id: r for r in spark.sql(
+            "select * from sess_chunks").collect()}
+        a = got["A"]
+        assert a.n_events == 6  # duplicate lsn 12 counted once
+        assert a.max_tool_run == 4  # lsn 11,12,13,14 across chunks
+        assert a.max_lsn == 15
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)

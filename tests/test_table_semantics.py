@@ -475,3 +475,24 @@ def test_cow_compact_vacuums_tombstones(spark, tmp_path):
     v = t2.current_version()
     t2.compact()
     assert t2.current_version() == v
+
+
+def test_ordered_commits_is_a_table_property(spark, tmp_path):
+    """A stream-fed (out-of-order) table records ordered_commits=False
+    at init; a MAINTAINER handle constructed with the default True must
+    inherit the recorded value, or its compaction would drop tombstones
+    and let a later lower-LSN delivery resurrect the deleted row (r4
+    review)."""
+    path = str(tmp_path / "t")
+    t = TargetTable(spark, path, n_buckets=2, mode="mor",
+                    ordered_commits=False)
+    t.init(SCHEMA)
+    t.merge_apply(_batch(spark, [(10, "I", "c1", 0, "v10")]), {"b": 1})
+    t.merge_apply(_batch(spark, [(20, "D", "c1", 0, None)]), {"b": 2})
+
+    maintainer = TargetTable(spark, path, n_buckets=2)  # defaults: True
+    assert maintainer.ordered_commits is False  # recorded value wins
+    maintainer.compact()  # must RETAIN the tombstone
+    # the out-of-order hazard: lsn 15 delivered after compaction
+    t.merge_apply(_batch(spark, [(15, "U", "c1", 0, "v15")]), {"b": 3})
+    assert t.read().count() == 0  # still deleted
