@@ -821,11 +821,11 @@ def _sql_embedding_near_dups() -> str:
     )
     return f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  ROUND((0.0 + {dot}) / (sqrt(0.0 + {norm_a}) * sqrt(0.0 + {norm_b})), 6) AS cosine_r
+  ROUND((0.0 + {dot}) / (greatest(sqrt(0.0 + {norm_a}), 1e-12) * greatest(sqrt(0.0 + {norm_b}), 1e-12)), 6) AS cosine_r
 FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
   AND a.vec_id < {EMB_CAP} AND b.vec_id < {EMB_CAP}
-  AND (0.0 + {dot}) / (sqrt(0.0 + {norm_a}) * sqrt(0.0 + {norm_b})) >= 0.4
+  AND (0.0 + {dot}) / (greatest(sqrt(0.0 + {norm_a}), 1e-12) * greatest(sqrt(0.0 + {norm_b}), 1e-12)) >= 0.4
 """
 
 
@@ -898,12 +898,12 @@ candp AS (
     ON x.band = y.band AND x.code = y.code AND x.vec_id < y.vec_id
 )
 SELECT id_a, id_b,
-  ROUND((0.0 + {dot}) / (sqrt(0.0 + {norm_a}) * sqrt(0.0 + {norm_b})), 6)
+  ROUND((0.0 + {dot}) / (greatest(sqrt(0.0 + {norm_a}), 1e-12) * greatest(sqrt(0.0 + {norm_b}), 1e-12)), 6)
     AS cosine_r
 FROM candp
 JOIN embeddings a ON a.vec_id = id_a
 JOIN embeddings b ON b.vec_id = id_b
-WHERE (0.0 + {dot}) / (sqrt(0.0 + {norm_a}) * sqrt(0.0 + {norm_b}))
+WHERE (0.0 + {dot}) / (greatest(sqrt(0.0 + {norm_a}), 1e-12) * greatest(sqrt(0.0 + {norm_b}), 1e-12))
       >= {threshold}
 """
 
@@ -1249,7 +1249,8 @@ SQL_BPE_TOKENS = r"""
 WITH marked AS (
   SELECT doc_id,
     regexp_replace(coalesce(text, ''),
-                   '([0-9])([^0-9\s])|([^\s0-9a-zA-Z])', '\1\3 \2', 'g') AS m
+                   '([0-9])([^0-9\s])|([a-zA-Z])([0-9])|([^\s0-9a-zA-Z])',
+                   '\1\3\5 \2\4', 'g') AS m
   FROM documents
 )
 SELECT doc_id,

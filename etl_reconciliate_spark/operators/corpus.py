@@ -64,6 +64,7 @@ def pack_sequences(
     n_shards: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    extra_partition_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """GPT-style sequence packing: concatenate documents in order and
     cut at fixed token budgets; each document is assigned to the
@@ -79,21 +80,30 @@ def pack_sequences(
     seq_id): ``start_offset`` is the token offset of the document in
     its shard's virtual concatenation, ``seq_id = start_offset //
     budget_tokens``.
+
+    ``extra_partition_cols`` join the shard in the packing window —
+    REQUIRED when the output is consumed per-group (e.g. per train/
+    val/test split): packing the whole corpus and then filtering a
+    group would leave holes in its sequences (a sequence spanning two
+    splits is readable from neither — r4 review). With
+    ``extra_partition_cols=("split",)`` every (split, shard) packs its
+    own contiguous sequences.
     """
     shard = (hash32(F.col(id_col)) % n_shards).cast("int")
     d = docs.select(
         F.col(id_col),
+        *extra_partition_cols,
         token_count(F.col(text_col)).alias("n_tokens"),
         shard.alias("shard"),
     )
     w = (
-        Window.partitionBy("shard")
+        Window.partitionBy(*extra_partition_cols, "shard")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = F.sum("n_tokens").over(w) - F.col("n_tokens")
     return d.select(
-        id_col, "n_tokens", "shard",
+        id_col, *extra_partition_cols, "n_tokens", "shard",
         start.alias("start_offset"),
         F.floor(start / budget_tokens).cast("long").alias("seq_id"),
     )

@@ -52,6 +52,7 @@ def curate_corpus(
     n_bands: int = 4,
     rows_per_band: int = 4,
     jaccard_threshold: float = 0.5,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Returns the curated corpus: (doc_id, lang_pred, n_tokens,
     quality_score) for every document surviving all four stages.
@@ -87,8 +88,13 @@ def curate_corpus(
         threshold=jaccard_threshold,
     )
     near_dup_drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    # keep_cols (e.g. ("text",)) ride through from the gated projection —
+    # the surviving frame already carries them, so callers that need the
+    # text avoid a second full-table join just to re-attach it (r4
+    # review: jobs/corpus_job re-scanned and re-shuffled the whole
+    # documents table for exactly that)
     return exact.join(near_dup_drop, "doc_id", "left_anti").select(
-        "doc_id", "lang_pred", "n_tokens", "quality_score"
+        "doc_id", "lang_pred", "n_tokens", "quality_score", *keep_cols
     )
 
 

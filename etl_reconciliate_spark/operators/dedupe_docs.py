@@ -332,7 +332,17 @@ def embedding_near_dup_pairs(
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", dot / (F.col("n_a") * F.col("n_b")))
+        # norm floor: a zero vector would give 0/0 = NaN, and Spark
+        # orders NaN GREATER than any number, so NaN >= threshold is
+        # TRUE — every vector would read as a near-dup of the zero
+        # vector (r4 review). Floored, its cosine is 0.0: never a dup.
+        .withColumn(
+            "cosine",
+            dot / (
+                F.greatest(F.col("n_a"), F.lit(1e-12))
+                * F.greatest(F.col("n_b"), F.lit(1e-12))
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -490,7 +500,14 @@ def embedding_lsh_near_dup_pairs(
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", dot / (n("v_a") * n("v_b")))
+        # same zero-norm NaN guard as embedding_near_dup_pairs
+        .withColumn(
+            "cosine",
+            dot / (
+                F.greatest(n("v_a"), F.lit(1e-12))
+                * F.greatest(n("v_b"), F.lit(1e-12))
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -91,11 +91,17 @@ def mixture_oracle_sql(
     whole_cases, frac_cases = [], []
     for src, rate in rates.items():
         whole, fb = _split_rate(rate)
-        whole_cases.append(f"WHEN {group_col} = '{src}' THEN {whole}")
-        frac_cases.append(f"WHEN {group_col} = '{src}' THEN {fb}")
+        lit = src.replace("'", "''")  # escape: source names are data
+        whole_cases.append(f"WHEN {group_col} = '{lit}' THEN {whole}")
+        frac_cases.append(f"WHEN {group_col} = '{lit}' THEN {fb}")
     dwhole, dfrac = _split_rate(default_rate)
-    whole_sql = f"CASE {' '.join(whole_cases)} ELSE {dwhole} END"
-    frac_sql = f"CASE {' '.join(frac_cases)} ELSE {dfrac} END"
+    # CASE with zero WHEN branches is a syntax error — empty rates (a
+    # config mixture_sample() accepts) degrade to the bare defaults
+    if whole_cases:
+        whole_sql = f"CASE {' '.join(whole_cases)} ELSE {dwhole} END"
+        frac_sql = f"CASE {' '.join(frac_cases)} ELSE {dfrac} END"
+    else:
+        whole_sql, frac_sql = str(dwhole), str(dfrac)
     bucket = f"({hash32_sql(id_col, seed)} % {BUCKETS})"
     return f"""
 WITH src AS ({source_sql}),

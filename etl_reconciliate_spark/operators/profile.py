@@ -32,17 +32,25 @@ def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     min_str, max_str) — one row per profiled column, ONE pass."""
     use = cols or df.columns
     aggs = [F.count(F.lit(1)).alias("_n")]
-    for c in use:
+    # POSITIONAL intermediate aliases (_null_0, ...) — embedding the raw
+    # column name both as an identifier and inside the stack() literal
+    # broke on any legal-but-non-identifier name ("a b", quotes — r4
+    # review); the index is always a clean identifier, and the display
+    # name only ever appears as an escaped string literal.
+    for i, c in enumerate(use):
         s = F.col(c).cast("string")
         aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"),
-            F.countDistinct(F.col(c)).alias(f"_dist_{c}"),
-            F.min(s).alias(f"_min_{c}"),
-            F.max(s).alias(f"_max_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{i}"),
+            F.countDistinct(F.col(c)).alias(f"_dist_{i}"),
+            F.min(s).alias(f"_min_{i}"),
+            F.max(s).alias(f"_max_{i}"),
         ]
     wide = df.agg(*aggs)
     stack = ", ".join(
-        f"'{c}', _null_{c}, _dist_{c}, _min_{c}, _max_{c}" for c in use
+        "'{}', _null_{i}, _dist_{i}, _min_{i}, _max_{i}".format(
+            c.replace("'", "''"), i=i
+        )
+        for i, c in enumerate(use)
     )
     return wide.select(
         F.expr(

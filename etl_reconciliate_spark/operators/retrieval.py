@@ -32,7 +32,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from etl_reconciliate_spark.operators.spans import _tokens
+from etl_reconciliate_spark.operators.spans import TOKEN_SPLIT, _tokens
 
 
 def term_frequencies(
@@ -82,7 +82,10 @@ def bm25_topk(
         [
             (qi, t)
             for qi, text in enumerate(queries)
-            for t in re.split("[^a-z0-9]+", text.lower())
+            # the SAME split the document side (_tokens) uses — the two
+            # tokenizers must agree by construction or postings and
+            # query terms diverge (r4 review)
+            for t in re.split(TOKEN_SPLIT, text.lower())
             if t
         ],
         "query_id int, term string",

@@ -25,8 +25,15 @@ def bpe_ish_token_count(col: Column) -> Column:
     letter/digit/punct boundaries (a cheap BPE proxy — counts pieces a
     byte-pair tokenizer would not merge across)."""
     t = F.coalesce(col, F.lit(""))
-    # insert breaks between character classes, then count pieces
-    marked = F.regexp_replace(t, r"([0-9])([^0-9\s])|([^\s0-9a-zA-Z])", r"$1$3 $2")
+    # insert breaks between character classes, then count pieces. The
+    # alternation covers digit->non-digit, letter->digit (the r4-review
+    # asymmetry: 'abc123' must split like '123abc'), and punctuation;
+    # no lookahead so the DuckDB (RE2) oracle can mirror it exactly.
+    marked = F.regexp_replace(
+        t,
+        r"([0-9])([^0-9\s])|([a-zA-Z])([0-9])|([^\s0-9a-zA-Z])",
+        r"$1$3$5 $2$4",
+    )
     return token_count(marked)
 
 
@@ -168,12 +175,25 @@ def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     a structured argmax (greatest over (score, rank) structs)."""
     lower = F.concat(F.lit(" "), F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(" "))
     scores = {lang: _marker_score(lower, ms) for lang, ms in LANG_MARKERS.items()}
-    out = docs.select(
+    # argmax over the SAME score expressions emitted as columns — calling
+    # lang_pred_column() here would rebuild every marker replace/length
+    # tree a second time in the projection (r4 review)
+    structs = [
+        F.struct(
+            scores[lang].alias("s"),
+            F.lit(-i).alias("prio"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(LANG_MARKERS)
+    ]
+    best = F.greatest(*structs)
+    return docs.select(
         "doc_id",
         *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
-        lang_pred_column(text_col).alias("lang_pred"),
+        F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
+            "lang_pred"
+        ),
     )
-    return out
 
 
 def lang_id_oracle_sql() -> str:

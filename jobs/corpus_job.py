@@ -65,14 +65,16 @@ def main() -> int:
     docs = spark.read.parquet(args.docs)
     n_in = docs.count()
 
-    curated_ids = curate_corpus(
+    # keep_cols carries text through the curation projection — no
+    # second documents scan/join to re-attach it
+    curated = curate_corpus(
         docs,
         min_quality=args.min_quality,
         min_tokens=args.min_tokens,
         langs=tuple(args.langs.split(",")),
         jaccard_threshold=args.jaccard_threshold,
-    ).select("doc_id")
-    curated = docs.join(curated_ids, "doc_id")
+        keep_cols=("text",),
+    ).select("doc_id", "text")
     n_curated = curated.count()
 
     n_decontaminated = n_curated
@@ -84,13 +86,17 @@ def main() -> int:
         n_decontaminated = curated.count()
 
     split = split_assign(curated, seed=args.seed)
+    # pack WITHIN each (split, shard): a sequence must never span
+    # splits, or a loader reading one split reconstructs sequences with
+    # holes at foreign-split offsets (r4 review)
     packed = pack_sequences(
-        curated, budget_tokens=args.budget_tokens, n_shards=args.shards
+        split, budget_tokens=args.budget_tokens, n_shards=args.shards,
+        extra_partition_cols=("split",),
     )
-    # one scan each side, joined on the id; the write clusters by
-    # (split, shard) so a training loader reads its shard's files only
+    # re-attach text by id; the write clusters by (split, shard) so a
+    # training loader reads its shard's files only
     out_df = (
-        split.join(packed, "doc_id")
+        packed.join(split.select("doc_id", "text"), "doc_id")
         .select("doc_id", "split", "shard", "seq_id", "start_offset",
                 "n_tokens", "text")
     )

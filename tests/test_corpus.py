@@ -112,6 +112,17 @@ def test_corpus_job_cli(spark, docs, tmp_path, capsys, monkeypatch):
     assert total_tokens == written.agg(F.sum("n_tokens")).collect()[0][0]
     # partition layout: a training loader reads split=train/shard=k files
     assert (tmp_path / "corpus" / "split=train" / "shard=0").exists()
+    # sequences are CONTIGUOUS per (split, shard): packing runs inside
+    # each split, so no sequence spans splits and every group's offsets
+    # chain from 0 with no holes (r4 review)
+    pdf = written.select("split", "shard", "doc_id", "n_tokens",
+                         "start_offset").toPandas()
+    for (_, _), g in pdf.groupby(["split", "shard"]):
+        g = g.sort_values("doc_id")
+        want_off = 0
+        for _, row in g.iterrows():
+            assert row["start_offset"] == want_off, (row, want_off)
+            want_off += row["n_tokens"]
 
 
 def test_decontaminate_drops_flagged_only(spark, docs):

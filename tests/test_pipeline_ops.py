@@ -124,3 +124,35 @@ def test_mixture_deterministic_and_growth_stable(spark, src_docs):
 def test_mixture_validation(spark, src_docs):
     with pytest.raises(ValueError, match="negative"):
         mixture_sample(src_docs, {"src0": -1.0})
+
+
+def test_mixture_oracle_empty_rates_valid_sql():
+    """mixture_sample({}) is legal config; its oracle SQL must parse
+    too (a CASE with zero WHEN branches is a syntax error — r4
+    review), and quoted source names must be escaped."""
+    import duckdb
+
+    from etl_reconciliate_spark.operators.mixture import mixture_oracle_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT 1 AS doc_id, "
+                "'o''brien' AS source")
+    assert con.execute(mixture_oracle_sql({})).fetchall() is not None
+    assert con.execute(
+        mixture_oracle_sql({"o'brien": 2.0})
+    ).fetchall() is not None
+
+
+def test_bpe_token_count_symmetric_boundaries(spark):
+    """'abc123' and '123abc' must split the same way (r4 review: only
+    digit->non-digit inserted a break)."""
+    from etl_reconciliate_spark.operators.textstats import (
+        bpe_ish_token_count,
+    )
+
+    df = spark.createDataFrame(
+        [("abc123",), ("123abc",), ("gpt4 turbo-x",)], ["text"]
+    )
+    got = [r[0] for r in df.select(bpe_ish_token_count(F.col("text"))).collect()]
+    assert got[0] == got[1] == 2
+    assert got[2] == 4  # gpt|4|turbo-x -> 'turbo' '-' 'x'? no: '-' marks

@@ -117,3 +117,15 @@ def test_profile_job_cli(spark, frame, tmp_path, capsys, monkeypatch):
     assert drift["mode"] == "drift"
     assert drift["drifted_columns"] == ["text"]
     assert drift["n_drifted"] == 1
+
+
+def test_profile_non_identifier_column_names(spark):
+    """Legal-but-awkward column names (spaces, quotes) must profile —
+    the generated stack() uses positional aliases and escaped literals
+    (r4 review)."""
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None)], ["a b", "o'brien"]
+    )
+    p = {r.column: r for r in column_profile(df).collect()}
+    assert set(p) == {"a b", "o'brien"}
+    assert p["o'brien"].n_null == 1 and p["a b"].n_distinct == 2
