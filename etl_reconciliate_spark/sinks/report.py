@@ -41,28 +41,50 @@ def write_result_table(
     from pyspark.sql import Observation
 
     obs = Observation()
-    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
-    w = df.write.option("compression", codec).mode("overwrite")
-    if partition_by and partition_by in df.columns:
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    w = observed.write.option("compression", codec).mode("overwrite")
+    partitioned = bool(partition_by and partition_by in df.columns)
+    if partitioned:
         w = w.partitionBy(partition_by)
     w.parquet(out_dir)
-    return int(obs.get["n"] or 0)
+    try:
+        n = int(obs.get["n"] or 0)
+    except Exception:  # AQE eliminated the metric node on the empty plan
+        n = 0
+    if n == 0 and partitioned:
+        # a partitioned write of an EMPTY frame emits only _SUCCESS — no
+        # schema-bearing file — and the next spark.read.parquet of the
+        # dir fails to infer a schema; this is the HAPPY path of the
+        # checksum recon strategy (zero discrepancies) with
+        # --results-dir (r4 review). Rewrite the empty result
+        # UNPARTITIONED (limit(0) short-circuits: no recompute of the
+        # lineage): the partition column stays a normal empty data
+        # column, so readers see the same schema either way. Checking
+        # emptiness UP FRONT instead would either consume the
+        # Observation or re-execute the full recon lineage for one row.
+        df.limit(0).write.option("compression", codec).mode(
+            "overwrite"
+        ).parquet(out_dir)
+    return n
 
 
 def _sheet_rows(
     df: DataFrame, order_by: list[str] | None, max_rows: int
-) -> tuple[list[str], list[tuple]]:
+) -> tuple[list[str], list[tuple], bool]:
     """Driver-side bounded materialization of one sheet (sorting happens
     HERE, at the emission boundary, never inside the recon operators)."""
     if order_by:
         df = df.orderBy(*order_by)
-    rows = df.limit(max_rows).collect()
-    return df.columns, [tuple(r) for r in rows]
+    # fetch ONE extra row so "exactly max_rows results" is
+    # distinguishable from a genuinely capped sheet (r4 review)
+    rows = df.limit(max_rows + 1).collect()
+    truncated = len(rows) > max_rows
+    return df.columns, [tuple(r) for r in rows[:max_rows]], truncated
 
 
 def _csv_cell(v) -> str:
     s = "" if v is None else str(v)
-    if any(c in s for c in ',"\n'):
+    if any(c in s for c in ',"\n\r'):
         s = '"' + s.replace('"', '""') + '"'
     return s
 
@@ -100,7 +122,7 @@ def write_two_sheet_report(
     rendered: dict = {"html": os.path.join(out_dir, "report.html"), "sheets": {}}
     for name, df in sheets.items():
         ob = (order_by or {}).get(name)
-        cols, rows = _sheet_rows(df, ob, max_rows_per_sheet)
+        cols, rows, truncated = _sheet_rows(df, ob, max_rows_per_sheet)
         csv_path = os.path.join(out_dir, f"{name}.csv")
         with open(csv_path, "w") as f:
             f.write(",".join(_csv_cell(c) for c in cols) + "\n")
@@ -124,7 +146,7 @@ def write_two_sheet_report(
             )
             parts.append(f"<tr{cls}>{cells}</tr>\n")
         parts.append("</table>\n")
-        if len(rows) == max_rows_per_sheet:
+        if truncated:
             parts.append(
                 f'<p class="note">{name}: capped at {max_rows_per_sheet} rows — '
                 f"full result set lives in the parquet sink.</p>\n"

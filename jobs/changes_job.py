@@ -98,7 +98,11 @@ def main() -> int:
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    if args.cursor_file is not None and to_v > from_v:
+    # the cursor records what the consumer has RECEIVED: advance only
+    # after a completed export (r4 review — a count-only run with a
+    # cursor file used to skip the range, silently losing those changes
+    # for the next exporting run)
+    if args.cursor_file is not None and to_v > from_v and out_path is not None:
         tmp = args.cursor_file + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(to_v))

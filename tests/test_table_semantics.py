@@ -496,3 +496,23 @@ def test_ordered_commits_is_a_table_property(spark, tmp_path):
     # the out-of-order hazard: lsn 15 delivered after compaction
     t.merge_apply(_batch(spark, [(15, "U", "c1", 0, "v15")]), {"b": 3})
     assert t.read().count() == 0  # still deleted
+
+
+def test_empty_partitioned_result_sink_rereadable(spark, tmp_path):
+    """A zero-row result (the checksum strategy's happy path) written
+    with partitioning must still leave a schema-bearing parquet dir —
+    a partitioned empty write emits only _SUCCESS and the documented
+    re-read crashes (r4 review). The count must also survive: an
+    Observation is single-use, so emptiness cannot be probed up front."""
+    from etl_reconciliate_spark.sinks.report import write_result_table
+
+    df = spark.createDataFrame([("a", "MATCH")], "conv_id string, status string")
+    empty = df.filter(F.col("status") == "NOPE")
+    out = str(tmp_path / "res")
+    assert write_result_table(empty, out, partition_by="status") == 0
+    back = spark.read.parquet(out)  # must not raise
+    assert back.count() == 0 and "status" in back.columns
+    # non-empty control: partitioned layout + correct count
+    out2 = str(tmp_path / "res2")
+    assert write_result_table(df, out2, partition_by="status") == 1
+    assert spark.read.parquet(out2).count() == 1
