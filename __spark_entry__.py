@@ -1281,7 +1281,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # random init + few iterations: the quantizer only needs rough cells
     # (probing covers the slack) and each kmeans iteration is a Spark job
     return ivf_topk(
-        emb, queries, dim=DIM, k=10, n_centroids=16, nprobe=6,
+        emb, queries, k=10, n_centroids=16, nprobe=6,
         max_iter=2, init_mode="random",
     )
 

@@ -51,6 +51,48 @@ def _dot(a: str, b: str):
     )
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared per-query window-rank tail: (query_id, vec_id, cosine,
+    rank), ties broken by vec_id — ONE definition so the four top-k
+    paths cannot drift (r4 review)."""
+    w = Window.partitionBy("id_q").orderBy(
+        F.col("cosine").desc(), F.col("id_v").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id_q").alias("query_id"),
+            F.col("id_v").alias("vec_id"),
+            F.col("cosine"),
+            F.col("rank"),
+        )
+    )
+
+
+def _probe_cells_udf(b_centers, n_probe: int):
+    """Arrow-batched nearest-cells probe over the broadcast centroid
+    matrix — shared by the in-memory and persisted-index IVF paths.
+
+    Memory-lean distance kernel: the naive broadcast-difference tensor
+    ``(m[:,None,:]-c)**2`` allocates batch x n_centroids x dim float64
+    (~63 GB at 10k x 1024 x 768 — r4 review); since the per-row
+    ||m||^2 term is constant within a row it cannot change the argsort,
+    so ``-2 m @ c.T + ||c||^2`` gives the same ordering with only
+    batch x n_centroids memory."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        c = b_centers.value  # (n_centroids, dim)
+        m = np.stack(vecs.to_numpy())  # (batch, dim)
+        d = -2.0 * (m @ c.T) + (c * c).sum(axis=1)[None, :]
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype("int32")))
+
+    return probe_cells
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -72,23 +114,12 @@ def cosine_topk(
             / (F.greatest(F.col("n_v"), F.lit(1e-12)) * F.greatest(F.col("n_q"), F.lit(1e-12))),
         )
     )
-    w = Window.partitionBy("id_q").orderBy(F.col("cosine").desc(), F.col("id_v").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("id_q").alias("query_id"),
-            F.col("id_v").alias("vec_id"),
-            F.col("cosine"),
-            F.col("rank"),
-        )
-    )
+    return _rank_topk(scored, k)
 
 
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
-    dim: int,
     k: int = 10,
     n_centroids: int = 16,
     nprobe: int = 4,
@@ -111,7 +142,6 @@ def ivf_topk(
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
-    from pyspark.sql.functions import pandas_udf
 
     v = vectors.select(
         F.col(id_col).alias("id_v"),
@@ -127,21 +157,19 @@ def ivf_topk(
     centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
     sc = vectors.sparkSession.sparkContext
     b_centers = sc.broadcast(centers)
-    n_probe = min(nprobe, n_centroids)
-
-    @pandas_udf("array<int>")
-    def probe_cells(vecs: pd.Series) -> pd.Series:
-        c = b_centers.value  # (n_centroids, dim)
-        m = np.stack(vecs.to_numpy())  # (batch, dim)
-        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-        order = np.argsort(d, axis=1)[:, :n_probe].astype("int32")
-        return pd.Series(list(order))
+    probe_cells = _probe_cells_udf(b_centers, min(nprobe, n_centroids))
 
     q = queries.select(
         F.col(query_id_col).alias("id_q"),
         F.col(vec_col).cast("array<double>").alias("v_q"),
     ).withColumn("_cell", F.explode(probe_cells(F.col("v_q"))))
 
+    return _rank_topk(_score_cells(q, assigned), k)
+
+
+def _score_cells(q: DataFrame, assigned: DataFrame) -> DataFrame:
+    """Exact cosine re-rank input: join probed cells, score, project —
+    shared by both IVF paths."""
     dot = F.aggregate(
         F.zip_with(F.col("v_v"), F.col("v_q"), lambda x, y: x * y),
         F.lit(0.0),
@@ -151,22 +179,11 @@ def ivf_topk(
         F.sqrt(F.aggregate(F.col(c), F.lit(0.0), lambda a, x: a + x * x)),
         F.lit(1e-12),
     )
-    scored = (
+    return (
         q.join(assigned, "_cell")
         .filter(F.col("id_v") != F.col("id_q"))
         .withColumn("cosine", dot / (norm("v_v") * norm("v_q")))
         .select("id_q", "id_v", "cosine")
-    )
-    w = Window.partitionBy("id_q").orderBy(F.col("cosine").desc(), F.col("id_v").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("id_q").alias("query_id"),
-            F.col("id_v").alias("vec_id"),
-            "cosine",
-            "rank",
-        )
     )
 
 
@@ -235,54 +252,19 @@ def ivf_topk_from_index(
     import json
     import os
 
-    from pyspark.sql.functions import pandas_udf
-
     with open(os.path.join(index_path, "centroids.json")) as f:
         meta = json.load(f)
     centers = np.asarray(meta["centroids"])
-    n_probe = min(nprobe, meta["n_centroids"])
     assigned = spark.read.parquet(os.path.join(index_path, "cells"))
     b_centers = spark.sparkContext.broadcast(centers)
-
-    @pandas_udf("array<int>")
-    def probe_cells(vecs: pd.Series) -> pd.Series:
-        c = b_centers.value
-        m = np.stack(vecs.to_numpy())
-        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-        order = np.argsort(d, axis=1)[:, :n_probe].astype("int32")
-        return pd.Series(list(order))
+    probe_cells = _probe_cells_udf(b_centers, min(nprobe, meta["n_centroids"]))
 
     q = queries.select(
         F.col(query_id_col).alias("id_q"),
         F.col(vec_col).cast("array<double>").alias("v_q"),
     ).withColumn("_cell", F.explode(probe_cells(F.col("v_q"))))
 
-    dot = F.aggregate(
-        F.zip_with(F.col("v_v"), F.col("v_q"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.greatest(  # noqa: E731
-        F.sqrt(F.aggregate(F.col(c), F.lit(0.0), lambda a, x: a + x * x)),
-        F.lit(1e-12),
-    )
-    scored = (
-        q.join(assigned, "_cell")
-        .filter(F.col("id_v") != F.col("id_q"))
-        .withColumn("cosine", dot / (norm("v_v") * norm("v_q")))
-        .select("id_q", "id_v", "cosine")
-    )
-    w = Window.partitionBy("id_q").orderBy(F.col("cosine").desc(), F.col("id_v").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("id_q").alias("query_id"),
-            F.col("id_v").alias("vec_id"),
-            "cosine",
-            "rank",
-        )
-    )
+    return _rank_topk(_score_cells(q, assigned), k)
 
 
 def plane_coeffs(dim: int, n_planes: int) -> list[list[float]]:
@@ -435,16 +417,10 @@ def lsh_cosine_topk(
             / (F.greatest(F.col("n_v"), F.lit(1e-12)) * F.greatest(F.col("n_q"), F.lit(1e-12))),
         )
         .select("id_q", "id_v", "cosine")
-        .distinct()  # multiprobe may hit the same pair twice
+        # no distinct needed: the multiprobe XOR masks (0, 1<<p,
+        # (1<<p)|(1<<r)) are pairwise-distinct and a vector sits in
+        # exactly ONE bucket, so each (query, vector) pair joins at most
+        # once — the r4 review found the old distinct() was a full
+        # shuffle+dedup of the scored candidate set for nothing
     )
-    w = Window.partitionBy("id_q").orderBy(F.col("cosine").desc(), F.col("id_v").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("id_q").alias("query_id"),
-            F.col("id_v").alias("vec_id"),
-            "cosine",
-            "rank",
-        )
-    )
+    return _rank_topk(scored, k)

@@ -17,22 +17,20 @@ Zipf-ish — one hot key can dominate a shuffle partition (SURVEY §7.3).
        a row iff the other side has ANY row for that key);
     3. R-only:    symmetric right_anti.
 
-The salt on the L side is a deterministic hash of the whole row
-(``xxhash64(*)``) — no RNG, so retries/replays are stable. Output column
-convention matches ``join(..., "full_outer")`` with both sides aliased.
+The salt on the L side hashes the whole row PLUS a per-row ordinal
+(``monotonically_increasing_id``): hashing the row alone collapses to a
+SINGLE salt when a hot key's rows are byte-identical — exactly the
+duplicate-delivery pathology that makes transcript keys hot — putting
+the whole key back on one reducer (r4 review). The ordinal spreads
+identical rows uniformly; it varies with partition layout across
+retries, but the salt only steers DISTRIBUTION — the join's row set is
+identical for any salt assignment. Output column convention matches
+``join(..., "full_outer")`` with both sides aliased.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-
-
-def _key_cond(a: str, b: str, keys: list[str]):
-    cond = None
-    for k in keys:
-        c = F.col(f"{a}.{k}").eqNullSafe(F.col(f"{b}.{k}"))
-        cond = c if cond is None else (cond & c)
-    return cond
 
 
 def salted_full_outer(
@@ -66,8 +64,6 @@ def salted_full_outer(
       routes are exact).
     * default — exact per-key counts on both sides (map-side combined).
     """
-    lcols, rcols = left.columns, right.columns
-
     def tag(df: DataFrame, prefix: str) -> DataFrame:
         return df.select([F.col(c).alias(f"{prefix}_{c}") for c in df.columns])
 
@@ -117,7 +113,14 @@ def salted_full_outer(
 
     # Hot legs --------------------------------------------------------
     salt_l = l_hot.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in l_hot.columns]), F.lit(n_salts))
+        "_salt",
+        F.pmod(
+            F.xxhash64(
+                *[F.col(c) for c in l_hot.columns],
+                F.monotonically_increasing_id(),
+            ),
+            F.lit(n_salts),
+        ),
     )
     salt_r = (
         r_hot.withColumn("_salt_arr", F.sequence(F.lit(0), F.lit(n_salts - 1)))
@@ -129,8 +132,29 @@ def salted_full_outer(
         salt_r, join_cond & (salt_l["_salt"] == salt_r["_salt"]), "inner"
     ).drop("_salt")
 
-    l_only = l_hot.join(r_hot, join_cond, "left_anti")
-    r_only = r_hot.join(l_hot, join_cond, "left_anti")
+    # key-LEVEL anti: a full-row anti-join would hash-partition both
+    # hot sides by the raw key — every row of the hottest key on one
+    # reducer, the exact hotspot the salting removed (r4 review). The
+    # distinct key set of a hot side is bounded by the hot-key census,
+    # so broadcast it and no skewed shuffle happens at all.
+    r_hot_keys = F.broadcast(
+        r_hot.select([F.col(c).alias(f"_h_{k}") for c, k in zip(rk, keys)])
+        .distinct()
+    )
+    l_hot_keys = F.broadcast(
+        l_hot.select([F.col(c).alias(f"_h_{k}") for c, k in zip(lk, keys)])
+        .distinct()
+    )
+
+    def anti_cond(kcols):
+        cond = None
+        for k, kc in zip(keys, kcols):
+            c = F.col(kc).eqNullSafe(F.col(f"_h_{k}"))
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    l_only = l_hot.join(r_hot_keys, anti_cond(lk), "left_anti")
+    r_only = r_hot.join(l_hot_keys, anti_cond(rk), "left_anti")
 
     null_r = [F.lit(None).cast(rt.schema[c].dataType).alias(c) for c in rt.columns]
     null_l = [F.lit(None).cast(lt.schema[c].dataType).alias(c) for c in lt.columns]

@@ -34,7 +34,9 @@ def footer_index(changelog_path: str) -> list[dict]:
             if not name.endswith(".parquet"):
                 continue
             fp = os.path.join(root, name)
-            md = pq.ParquetFile(fp).metadata
+            pf = pq.ParquetFile(fp)
+            md = pf.metadata
+            has_lsn = "lsn" in pf.schema_arrow.names
             lo = hi = None
             for rg in range(md.num_row_groups):
                 row_group = md.row_group(rg)
@@ -44,6 +46,18 @@ def footer_index(changelog_path: str) -> list[dict]:
                         s = col.statistics
                         lo = s.min if lo is None else min(lo, s.min)
                         hi = s.max if hi is None else max(hi, s.max)
+            if lo is None and has_lsn and md.num_rows > 0:
+                # the file HAS lsn values but its footer carries no
+                # column statistics (writer disabled/truncated them) —
+                # without bounds the slice reader would silently skip
+                # every event in the file (r4 review). Fall back to
+                # reading the one column driver-side; degenerate case,
+                # still no Spark job.
+                import pyarrow.compute as pc
+
+                col_data = pf.read(columns=["lsn"])["lsn"]
+                lo = pc.min(col_data).as_py()
+                hi = pc.max(col_data).as_py()
             out.append(
                 {
                     "file": "/".join(fp.rsplit("/", 2)[-2:]),

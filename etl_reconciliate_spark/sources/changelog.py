@@ -45,8 +45,19 @@ class ChangeLogSource:
         self._bounds: dict[str, tuple[int, int]] = {}
         for f_ in self.file_index:
             if f_["lsn_lo"] is None:
-                continue
+                continue  # empty file (footer_index backfills missing stats)
             e = f_["file"].rsplit("/", 1)[0]
+            if self._epochs != [""] and e not in self._epochs:
+                # a data file outside the recognized epoch= dirs (stray
+                # top-level file, or nested one level deeper) would be
+                # invisible to the epoch DataFrames — its events silently
+                # lost, or a later slice lookup KeyErroring on a phantom
+                # epoch (r4 review). Refuse loudly.
+                raise ValueError(
+                    f"changelog layout error: {f_['file']} is not inside "
+                    f"an epoch= directory of {path}; expected a flat dir "
+                    f"or epoch=N subdirs only"
+                )
             e = e if e in self._epochs else ""
             lo, hi = self._bounds.get(e, (f_["lsn_lo"], f_["lsn_hi"]))
             self._bounds[e] = (min(lo, f_["lsn_lo"]), max(hi, f_["lsn_hi"]))

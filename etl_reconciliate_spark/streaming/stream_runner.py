@@ -58,9 +58,15 @@ def replay_stream(
     events whose LSN was already seen within the watermark horizon are
     dropped in the streaming state store BEFORE the per-batch dedup and
     merge — cutting shuffle+merge work for the common duplicate-delivery
-    case. Correctness never depends on it: a re-delivery arriving LATER
-    than the watermark horizon passes through and is absorbed by the
-    idempotent merge (newer-LSN-wins keeps the stored row)."""
+    case. CONTRACT (r4 review — the old note claimed late events "pass
+    through"; they do not): Spark's stateful dedup DISCARDS any input
+    row whose event time is already behind the watermark, duplicates
+    and genuinely-new late events alike. Enable it only when event-time
+    lateness is bounded by the chosen delay (the mtime-ordered file
+    source makes unbounded lateness possible — leave it OFF, the
+    default, when that matters). Rows with a NULL ts (e.g. Debezium
+    delete envelopes without ts_ms) BYPASS the dedup stage instead of
+    being silently swallowed by the watermark operator."""
     from pyspark.sql import Observation, functions as F
     from pyspark.sql import types as T
 
@@ -107,9 +113,14 @@ def replay_stream(
     else:
         raise ValueError(f"unknown changelog_format: {changelog_format!r}")
     if dedup_within_watermark:
-        stream = stream.withWatermark(
-            "ts", dedup_within_watermark
-        ).dropDuplicatesWithinWatermark(["lsn"])
+        # null-ts rows (tombstone envelopes) would be dropped by the
+        # watermark operator — route them around the dedup stage
+        with_ts = (
+            stream.filter(F.col("ts").isNotNull())
+            .withWatermark("ts", dedup_within_watermark)
+            .dropDuplicatesWithinWatermark(["lsn"])
+        )
+        stream = with_ts.unionByName(stream.filter(F.col("ts").isNull()))
 
     batches: list[dict] = []
 

@@ -241,3 +241,37 @@ def test_reconcile_incremental_from_read_changes(spark, tmp_path):
     rows = {(r.conv_id, r.turn_idx): r.status for r in inc.collect()}
     # b's drift is NOT in the changed set → not re-verified this pass
     assert rows == {("a", 0): "MATCH", ("c", 0): "MATCH"}
+
+
+def test_salted_identical_rows_spread_across_salts(spark):
+    """A hot key made of IDENTICAL rows (the duplicate-delivery
+    pathology) must still spread across salts — hashing the row alone
+    collapsed them onto one reducer (r4 review) — and the join result
+    must equal the plain join exactly."""
+    from pyspark.sql import functions as F
+
+    from etl_reconciliate_spark.operators.skew import salted_full_outer
+
+    rows_s = [("hot", 0, "same-text")] * 64  # byte-identical hot rows
+    rows_t = [("hot", 0, f"t{i}") for i in range(3)]
+    src, tgt = _df(spark, rows_s), _df(spark, rows_t)
+    plain = src.join(tgt, ["conv_id", "turn_idx"], "full_outer").count()
+    salted = salted_full_outer(
+        src, tgt, ["conv_id", "turn_idx"], n_salts=8, hot_threshold=2
+    )
+    assert salted.count() == plain == 64 * 3
+    # distribution check: replicate the salt expression on the tagged
+    # frame — identical rows must land in >1 salt bucket
+    lt = src.select([F.col(c).alias(f"l_{c}") for c in src.columns])
+    n_salt_values = (
+        lt.withColumn(
+            "_salt",
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in lt.columns],
+                           F.monotonically_increasing_id()),
+                F.lit(8),
+            ),
+        )
+        .select("_salt").distinct().count()
+    )
+    assert n_salt_values > 1

@@ -139,7 +139,7 @@ def test_ivf_full_probe_equals_exact(spark, emb):
 
     queries = emb.filter(F.col("vec_id") < 10)
     exact = cosine_topk(emb, queries, k=10)
-    full = ivf_topk(emb, queries, dim=64, k=10, n_centroids=8, nprobe=8)
+    full = ivf_topk(emb, queries, k=10, n_centroids=8, nprobe=8)
     e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["vec_id"]) for r in full.collect()}
     assert a == e
@@ -150,7 +150,7 @@ def test_ivf_partial_probe_recall(spark, emb):
 
     queries = emb.filter(F.col("vec_id") < 20)
     exact = cosine_topk(emb, queries, k=10)
-    approx = ivf_topk(emb, queries, dim=64, k=10, n_centroids=8, nprobe=5)
+    approx = ivf_topk(emb, queries, k=10, n_centroids=8, nprobe=5)
     e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     # near-uniform embeddings are the worst case (neighbors spread across
@@ -208,7 +208,7 @@ def test_ivf_index_persist_and_query(spark, emb, tmp_path):
 
     queries = emb.filter(F.col("vec_id") < 10)
     from_index = ivf_topk_from_index(spark, idx, queries, k=5, nprobe=3)
-    in_memory = ivf_topk(emb, queries, dim=64, k=5, n_centroids=8, nprobe=3,
+    in_memory = ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3,
                          seed=7, max_iter=4, init_mode="random")
     a = {(r["query_id"], r["rank"]): r["vec_id"] for r in from_index.collect()}
     b = {(r["query_id"], r["rank"]): r["vec_id"] for r in in_memory.collect()}

@@ -85,3 +85,46 @@ def test_debezium_envelope_parse_and_merge(spark, tmp_path):
     live = {(r["conv_id"], r["turn_idx"]): r["text"]
             for r in tgt.read().collect()}
     assert live == {("c1", 0): "hi v2"}  # c2/0 deleted, c1/0 at max LSN
+
+
+def test_changelog_stray_file_rejected(spark, tmp_path):
+    """A parquet file outside the epoch= dirs is invisible to the epoch
+    DataFrames — its events would be silently lost (or a phantom-epoch
+    KeyError thrown later). The source must refuse the layout loudly
+    (r4 review)."""
+    from etl_reconciliate_spark.datagen import gen_changelog, write_changelog
+    from etl_reconciliate_spark.sources.changelog import ChangeLogSource
+
+    df = gen_changelog(500, seed=3)
+    p = str(tmp_path / "log")
+    write_changelog(spark, df, p, epoch_lsn=250)
+    # plant a stray file at the top level, beside epoch=0/ and epoch=1/
+    spark.createDataFrame(
+        [(99999, "I", "cX", 0, "user", "stray", None, None)],
+        "lsn long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp",
+    ).coalesce(1).write.parquet(f"{p}_stray")
+    import glob
+    import shutil
+    stray = glob.glob(f"{p}_stray/*.parquet")[0]
+    shutil.copy(stray, f"{p}/part-stray.parquet")
+    with pytest.raises(ValueError, match="layout error"):
+        ChangeLogSource(spark, p)
+
+
+def test_footer_index_backfills_missing_stats(tmp_path):
+    """A parquet file written WITHOUT column statistics must still get
+    lsn bounds (driver-side column read) — otherwise the slice reader
+    silently drops every event in it (r4 review)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_reconciliate_spark.plans.metrics import footer_index
+
+    t = pa.table({"lsn": [7, 3, 11], "op": ["I", "I", "D"]})
+    d = tmp_path / "log"
+    d.mkdir()
+    pq.write_table(t, str(d / "nostats.parquet"), write_statistics=False)
+    idx = footer_index(str(d))
+    assert len(idx) == 1
+    assert idx[0]["lsn_lo"] == 3 and idx[0]["lsn_hi"] == 11
