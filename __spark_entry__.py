@@ -631,8 +631,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL fixpoint must agree on every label."""
     from etl_reconciliate_spark.operators.dedupe_docs import dedup_clusters
 
+    # doc-sampled (doc_id % 2): the oracle's recursive CTE and the
+    # iterative loop prove the SAME transitive-closure semantics on half
+    # the corpus at roughly half the suite cost (r3 verdict item 3's
+    # sampling suggestion); the operator itself stays uncapped
     return dedup_clusters(
-        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0),
         k=8,
         n_bands=N_BANDS,
         rows_per_band=ROWS_PER_BAND,
@@ -642,7 +646,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_dedup_clusters() -> str:
     return rf"""
-WITH RECURSIVE {_sql_lsh_cte()},
+WITH RECURSIVE docs_half AS (
+  SELECT * FROM documents WHERE doc_id % 2 = 0
+),
+{_sql_lsh_cte("docs_half")},
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 common AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
@@ -664,7 +671,7 @@ edges AS (
   SELECT doc_b AS s, doc_a AS d FROM pairs
 ),
 reach AS (
-  SELECT doc_id AS src, doc_id AS node FROM documents
+  SELECT doc_id AS src, doc_id AS node FROM docs_half
   UNION
   SELECT r.src, e.d AS node FROM reach r JOIN edges e ON e.s = r.node
 )
