@@ -129,12 +129,13 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def banded_signature(
     sig: DataFrame, n_bands: int = 4, rows_per_band: int = 4
 ) -> DataFrame:
-    """Band the signature, bucket-join on (band, band_hash): docs
-    agreeing on ALL rows of any band become a candidate pair."""
-    n_hashes = n_bands * rows_per_band
+    """Band a minhash signature into (doc_id, band, bh) rows — the
+    persistable LSH BAND INDEX shape (one row per doc per band; bh is
+    the md5 of the band's hash values). ``jobs/dedup_index_job`` writes
+    this frame as the corpus index that incremental dedup probes."""
     bands = []
     for b_ in range(n_bands):
         cols = [F.col(f"h{b_ * rows_per_band + r}") for r in range(rows_per_band)]
@@ -146,9 +147,31 @@ def lsh_candidate_pairs(
                 ),
             )
         )
-    banded = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*bands)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+def minhash_band_index(
+    docs: DataFrame, k: int = 8, n_bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Text → persisted-index rows in one call: shingles → minhash
+    signature → banding. Deterministic (affine hash family), so an index
+    built today and a signature computed over the same text next month
+    agree bit-for-bit."""
+    return banded_signature(
+        minhash_signatures(docs, k, n_bands * rows_per_band),
+        n_bands,
+        rows_per_band,
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, n_bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature, bucket-join on (band, band_hash): docs
+    agreeing on ALL rows of any band become a candidate pair."""
+    banded = banded_signature(sig, n_bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -214,13 +237,22 @@ def lsh_jaccard_pairs(
     sig = minhash_signatures(docs, k, n_bands * rows_per_band)
     cand = lsh_candidate_pairs(sig, n_bands, rows_per_band)
     sh = char_shingles(docs, k)
+    return _exact_jaccard(cand, sh, threshold)
+
+
+def _exact_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact shingle-set Jaccard over candidate pairs only.
+    ``cand``: (doc_a, doc_b, [extra cols carried through]);
+    ``sh``: (doc_id, shingle) covering at least every doc in cand.
+    Returns cand's columns + (n_common, jaccard), filtered ≥ threshold."""
+    carry = [c for c in cand.columns if c not in ("doc_a", "doc_b")]
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (
         cand.join(a, "doc_a")
         .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", *carry)
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
@@ -233,8 +265,107 @@ def lsh_jaccard_pairs(
             / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "n_common", "jaccard")
+        .select("doc_a", "doc_b", *carry, "n_common", "jaccard")
     )
+
+
+def lsh_scored_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates scored BOTH ways — signature-estimated Jaccard
+    (the cheap screen) and exact shingle-set Jaccard (the verifier) —
+    filtered on the EXACT score. One signature build feeds banding and
+    the estimate; the exact verify touches candidates only. Returns
+    (doc_a, doc_b, est_jaccard, n_common, jaccard)."""
+    n_hashes = n_bands * rows_per_band
+    sig = minhash_signatures(docs, k, n_hashes)
+    cand = lsh_candidate_pairs(sig, n_bands, rows_per_band)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(n_hashes)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(n_hashes)],
+    )
+    est = None
+    for i in range(n_hashes):
+        e = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        est = e if est is None else est + e
+    scored = (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("est_jaccard", est / F.lit(float(n_hashes)))
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+    return _exact_jaccard(scored, char_shingles(docs, k), threshold)
+
+
+def incremental_lsh_jaccard_pairs(
+    corpus: DataFrame,
+    delta_ids: DataFrame,
+    k: int = 8,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """CDC-driven INCREMENTAL near-dup dedup (r4 verdict item 2): find
+    every near-dup pair TOUCHING the delta without re-scanning the
+    corpus.
+
+    ``delta_ids`` — one-column frame of changed/new doc_ids (in
+    production: key column of ``TargetTable.read_changes`` between two
+    snapshot versions).
+    ``index`` — the persisted corpus band index ((doc_id, band, bh) —
+    :func:`minhash_band_index`, built once by ``jobs/dedup_index_job``
+    and maintained incrementally). When None it is derived from
+    ``corpus`` here (correct, but that re-scans — pass the index at
+    scale).
+
+    Shape at 100 TB: delta docs' signatures are recomputed from text
+    (O(delta)), probe the index on (band, bh) — a join whose left side
+    is delta-sized; exact-Jaccard verification shingles ONLY the
+    candidate docs (semi-join on candidate ids — bucket-prunable point
+    reads against a keyed table). Daily dedup cost is O(delta +
+    candidates), never O(corpus).
+
+    Equivalence: returns exactly ``lsh_jaccard_pairs(corpus)`` filtered
+    to pairs with ≥1 endpoint in the delta (pytest-proven)."""
+    dids = F.broadcast(
+        delta_ids.select(F.col(delta_ids.columns[0]).alias("doc_id")).distinct()
+    )
+    delta_docs = corpus.join(dids, "doc_id", "semi")
+    if index is None:
+        index = minhash_band_index(corpus, k, n_bands, rows_per_band)
+    dband = minhash_band_index(delta_docs, k, n_bands, rows_per_band)
+    p, i = dband.alias("p"), index.alias("i")
+    cand = (
+        p.join(
+            i,
+            (F.col("p.band") == F.col("i.band"))
+            & (F.col("p.bh") == F.col("i.bh"))
+            & (F.col("p.doc_id") != F.col("i.doc_id")),
+        )
+        .select(
+            F.least(F.col("p.doc_id"), F.col("i.doc_id")).alias("doc_a"),
+            F.greatest(F.col("p.doc_id"), F.col("i.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # candidate docs only — at scale this is a keyed point-read
+    # (TargetTable.read_keys bucket pruning), not a corpus scan; AQE
+    # broadcasts the candidate-id side when it is small
+    needed = corpus.join(cand_ids, "doc_id", "semi")
+    return _exact_jaccard(cand, char_shingles(needed, k), threshold)
 
 
 # --------------------------------------------------------------- SimHash

@@ -17,15 +17,28 @@ Zipf-ish — one hot key can dominate a shuffle partition (SURVEY §7.3).
        a row iff the other side has ANY row for that key);
     3. R-only:    symmetric right_anti.
 
-The salt on the L side hashes the whole row PLUS a per-row ordinal
-(``monotonically_increasing_id``): hashing the row alone collapses to a
-SINGLE salt when a hot key's rows are byte-identical — exactly the
-duplicate-delivery pathology that makes transcript keys hot — putting
-the whole key back on one reducer (r4 review). The ordinal spreads
-identical rows uniformly; it varies with partition layout across
-retries, but the salt only steers DISTRIBUTION — the join's row set is
-identical for any salt assignment. Output column convention matches
-``join(..., "full_outer")`` with both sides aliased.
+The matched leg uses DETERMINISTIC count-expand salting (r5; replaces
+the r4 per-row ``monotonically_increasing_id`` ordinal, which made the
+map stage indeterminate — after a fetch failure Spark had to retry the
+whole stage, and a partial retry could have re-salted rows differently
+than the map output already consumed, duplicating/dropping matched
+rows — r4 advice):
+
+1. each hot side collapses to DISTINCT rows + a count (byte-identical
+   duplicate deliveries — the very pathology that makes transcript keys
+   hot — collapse map-side via partial agg, and the exchange hashes the
+   FULL row, uniform even for the hottest key);
+2. a distinct L row's ``c`` copies spread across ``ceil(c/S)`` salt
+   slots with shares ``c div S (+1)``, anchored at the row's content
+   hash so singletons scatter uniformly instead of piling on slot 0;
+3. distinct R rows replicate across all S salts (probe side);
+4. after the (keys, salt) join each (l, r) pair re-expands
+   ``share × r_count`` times via a chunked explode (bounded arrays).
+
+Every expression is deterministic (hash + integer arithmetic), so stage
+retries replay byte-identical salts, and the shuffle now carries
+distinct rows + counts instead of every duplicate. Output column
+convention matches ``join(..., "full_outer")`` with both sides aliased.
 """
 
 from __future__ import annotations
@@ -111,26 +124,72 @@ def salted_full_outer(
 
     cold = l_cold.join(r_cold, join_cond, "full_outer")
 
-    # Hot legs --------------------------------------------------------
-    salt_l = l_hot.withColumn(
-        "_salt",
-        F.pmod(
-            F.xxhash64(
-                *[F.col(c) for c in l_hot.columns],
-                F.monotonically_increasing_id(),
-            ),
-            F.lit(n_salts),
-        ),
+    # Hot matched leg: deterministic count-expand salting (see module
+    # docstring). _chunk_size bounds the re-expansion arrays so a
+    # million-fold duplicate never materializes one giant sequence().
+    _chunk = 4096
+    l_dist = l_hot.groupBy(*l_hot.columns).agg(F.count(F.lit(1)).alias("_lc"))
+    r_dist = r_hot.groupBy(*r_hot.columns).agg(F.count(F.lit(1)).alias("_rc"))
+
+    salt_l = (
+        l_dist.withColumn(
+            "_slot", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        )
+        .withColumn(
+            "_share",
+            F.expr(f"_lc DIV {n_salts}")
+            + F.when(
+                F.col("_slot") < F.pmod(F.col("_lc"), F.lit(n_salts)), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        # singleton rows (_lc < n_salts) occupy only their first slots —
+        # the filter keeps the shuffle at Σ min(_lc, S) rows per distinct
+        # row, not a blanket ×S amplification
+        .filter(F.col("_share") > 0)
+        .withColumn(
+            "_salt",
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in l_dist.columns if c != "_lc"])
+                + F.col("_slot"),
+                F.lit(n_salts),
+            ).cast("long"),
+        )
+        .drop("_slot", "_lc")
     )
     salt_r = (
-        r_hot.withColumn("_salt_arr", F.sequence(F.lit(0), F.lit(n_salts - 1)))
-        .withColumn("_salt_i", F.explode("_salt_arr"))
+        r_dist.withColumn(
+            "_salt_i", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        )
         .withColumn("_salt", F.col("_salt_i").cast("long"))
-        .drop("_salt_arr", "_salt_i")
+        .drop("_salt_i")
     )
-    matched = salt_l.join(
-        salt_r, join_cond & (salt_l["_salt"] == salt_r["_salt"]), "inner"
-    ).drop("_salt")
+    matched = (
+        salt_l.join(
+            salt_r, join_cond & (salt_l["_salt"] == salt_r["_salt"]), "inner"
+        )
+        .withColumn("_rep", F.col("_share") * F.col("_rc"))
+        .withColumn(
+            "_c",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), F.expr(f"(_rep - 1) DIV {_chunk}")
+                )
+            ),
+        )
+        .withColumn(
+            "_i",
+            F.explode(
+                F.sequence(
+                    F.lit(1).cast("long"),
+                    F.least(
+                        F.col("_rep") - F.col("_c") * F.lit(_chunk),
+                        F.lit(_chunk).cast("long"),
+                    ),
+                )
+            ),
+        )
+        .drop("_salt", "_share", "_rc", "_rep", "_c", "_i")
+    )
 
     # key-LEVEL anti: a full-row anti-join would hash-partition both
     # hot sides by the raw key — every row of the hottest key on one

@@ -49,8 +49,18 @@ def write_result_table(
     w.parquet(out_dir)
     try:
         n = int(obs.get["n"] or 0)
-    except Exception:  # AQE eliminated the metric node on the empty plan
-        n = 0
+    except Exception:
+        # Observation failing usually means AQE eliminated the metric
+        # node on an empty plan — but not always. Before declaring 0 (and,
+        # below, OVERWRITING a partitioned result with an empty frame),
+        # count what the write actually produced; a dir holding only
+        # _SUCCESS has no schema-bearing file and the read itself raises,
+        # which IS the genuinely-empty case (r4 advice: a non-empty write
+        # whose Observation failed must not be erased and reported as 0).
+        try:
+            n = int(df.sparkSession.read.parquet(out_dir).count())
+        except Exception:
+            n = 0
     if n == 0 and partitioned:
         # a partitioned write of an EMPTY frame emits only _SUCCESS — no
         # schema-bearing file — and the next spark.read.parquet of the

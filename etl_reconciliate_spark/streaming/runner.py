@@ -73,15 +73,39 @@ def replay(
     Returns run statistics: events applied, slices, wall seconds of the
     apply loop (excluding session startup), events/sec.
     """
-    from pyspark.sql import types as T
-
-    n_partitions = n_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    prior_shuffle = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    n_partitions = n_partitions or int(prior_shuffle)
     # the agg-dedup exchange (and any other induced shuffle) sizes off
     # the session conf — pin it so an explicit n_partitions is honored
-    # by both dedup impls, not only the window path's repartition
+    # by both dedup impls, not only the window path's repartition.
+    # Restored on exit: replay() may be embedded in a longer-lived
+    # session that must not inherit this parallelism (r4 advice).
     spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
+    try:
+        return _replay_loop(
+            spark, changelog_path, target_path, slice_size, n_partitions,
+            max_slices, collect_lineage, expire_keep, target_mode,
+            compact_threshold, dedup_impl,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_shuffle)
+
+
+def _replay_loop(
+    spark: SparkSession,
+    changelog_path: str,
+    target_path: str,
+    slice_size: int,
+    n_partitions: int,
+    max_slices: int | None,
+    collect_lineage: bool,
+    expire_keep: int,
+    target_mode: str,
+    compact_threshold: int,
+    dedup_impl: str,
+) -> dict:
+    from pyspark.sql import types as T
+
     source = ChangeLogSource(spark, changelog_path)
     table = TargetTable(
         spark,

@@ -1,0 +1,216 @@
+"""spark-submit entrypoint: persisted MinHash band index + CDC refresh.
+
+The build-once / refresh-incrementally deployment surface for
+near-duplicate dedup over a CDC-maintained transcript lake (r4 verdict
+item 2): a 100 TB corpus ingesting 10^10 events/day cannot re-LSH the
+whole corpus per day — instead the corpus keeps a PERSISTED band index
+((doc_id, band, bh) — ``operators.dedupe_docs.minhash_band_index``)
+and each refresh
+
+1. pulls the conversations touched since the index's recorded snapshot
+   from the table's own CDC-out surface (``TargetTable.read_changes``),
+2. re-assembles ONLY those conversations into documents
+   (``operators.corpus.conversations_to_documents`` — the turns frame
+   is semi-joined on the changed conv_ids BEFORE the assembly groupBy,
+   so the read is O(drift), bucket-prunable on a keyed table),
+3. swaps their index rows (anti-join out stale rows ∪ fresh rows) into
+   a new ``data-v{N}`` dir with an atomic meta pointer swap (readers
+   never see a half-written index),
+4. probes the fresh rows against the updated index and reports the NEW
+   near-dup pairs (exact-Jaccard verified; the verify assembles only
+   candidate conversations).
+
+Deterministic end to end (affine hash family + md5 banding), so an
+index built at version N and a signature recomputed at version N+k
+agree bit-for-bit — no epoch drift, no rebuild-to-trust.
+
+    # initial build
+    spark-submit --py-files engine.zip jobs/dedup_index_job.py \
+        --target /path/tbl --index-dir /path/dedup_idx
+
+    # scheduled incremental refresh (no-op when the table hasn't moved)
+    ... --target /path/tbl --index-dir /path/dedup_idx --refresh
+
+Prints one JSON line with mode, from/to versions, changed/indexed doc
+counts and new-pair count.
+
+reference: no equivalent in the reference app (its only dedup is the
+batch-id NOT-IN filter, reader/*.java) — this is the §"beyond the
+reference" training-data surface, CDC-native.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+
+META_NAME = "_dedup_index_meta.json"
+
+
+def _docs_frame(turns):
+    """Transcript turns → documents-shaped frame (doc_id, text)."""
+    from pyspark.sql import functions as F
+
+    from etl_reconciliate_spark.operators.corpus import conversations_to_documents
+
+    return conversations_to_documents(turns).select(
+        F.col("conv_id").alias("doc_id"), F.col("doc_text").alias("text")
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--target", required=True)
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--k", type=int, default=8, help="shingle width")
+    ap.add_argument("--bands", type=int, default=4)
+    ap.add_argument("--rows-per-band", type=int, default=4)
+    ap.add_argument("--threshold", type=float, default=0.5,
+                    help="exact-Jaccard threshold for reported pairs")
+    ap.add_argument("--refresh", action="store_true",
+                    help="incremental refresh from read_changes since the "
+                         "index's recorded version (falls back to a full "
+                         "build when no index exists yet)")
+    ap.add_argument("--pairs-out", default=None,
+                    help="also write the new near-dup pairs parquet here")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = SparkSession.builder.appName("dedup_index").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from etl_reconciliate_spark.operators.dedupe_docs import (
+        _exact_jaccard,
+        char_shingles,
+        minhash_band_index,
+    )
+    from etl_reconciliate_spark.target.table import TargetTable
+
+    tbl = TargetTable(spark, args.target)
+    if not tbl.exists():
+        print(json.dumps({"error": f"no table at {args.target}"}))
+        return 1
+    to_version = tbl.current_version()
+    params = {"k": args.k, "bands": args.bands,
+              "rows_per_band": args.rows_per_band}
+    meta_path = os.path.join(args.index_dir, META_NAME)
+    prior_meta = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prior_meta = json.load(f)
+    meta = None
+    if args.refresh and prior_meta is not None:
+        meta = prior_meta
+        if {k: meta.get(k) for k in params} != params:
+            print(json.dumps({"error": "existing index has different "
+                              "k/bands/rows_per_band; rebuild without "
+                              "--refresh"}))
+            return 1
+        try:
+            tbl.metadata(meta["table_version"])
+        except FileNotFoundError:
+            meta = None  # recorded snapshot expired → full rebuild
+
+    out = {"to_version": to_version, **params}
+    os.makedirs(args.index_dir, exist_ok=True)
+    data_dir = os.path.join(args.index_dir, f"data-v{to_version:06d}")
+    new_pairs = None
+
+    def build_index(docs):
+        return minhash_band_index(
+            docs, k=args.k, n_bands=args.bands,
+            rows_per_band=args.rows_per_band,
+        )
+
+    if meta is None:
+        out["mode"] = "build" if prior_meta is None else "rebuild_expired_base"
+        idx = build_index(_docs_frame(tbl.read(version=to_version)))
+        idx.write.mode("overwrite").option("compression", "zstd").parquet(
+            data_dir
+        )
+        out["changed_docs"] = None
+    elif meta["table_version"] == to_version:
+        out.update(mode="refresh", from_version=to_version,
+                   changed_docs=0, new_pairs=0,
+                   index_rows=meta["index_rows"])
+        print(json.dumps(out))
+        return 0
+    else:
+        from_version = meta["table_version"]
+        out.update(mode="refresh", from_version=from_version)
+        changed = (
+            tbl.read_changes(from_version, to_version)
+            .select(F.col("conv_id").alias("doc_id"))
+            .distinct()
+        )
+        # O(drift): only changed conversations are re-assembled — the
+        # semi-join filters the TURNS frame, below the assembly groupBy
+        turns_now = tbl.read(version=to_version)
+        delta_turns = turns_now.join(
+            F.broadcast(changed.select(F.col("doc_id").alias("conv_id"))),
+            "conv_id", "semi",
+        )
+        fresh = build_index(_docs_frame(delta_turns)).localCheckpoint()
+        out["changed_docs"] = changed.count()
+        stale = spark.read.parquet(meta["data_dir"])
+        # swap: every changed doc's rows leave (covers deletes — a
+        # vanished conversation simply contributes no fresh rows)
+        idx = stale.join(changed, "doc_id", "left_anti").unionByName(fresh)
+        idx.write.mode("overwrite").option("compression", "zstd").parquet(
+            data_dir
+        )
+        idx = spark.read.parquet(data_dir)
+        # probe fresh rows against the refreshed index → NEW pairs
+        p, i = fresh.alias("p"), idx.alias("i")
+        cand = (
+            p.join(
+                i,
+                (F.col("p.band") == F.col("i.band"))
+                & (F.col("p.bh") == F.col("i.bh"))
+                & (F.col("p.doc_id") != F.col("i.doc_id")),
+            )
+            .select(
+                F.least(F.col("p.doc_id"), F.col("i.doc_id")).alias("doc_a"),
+                F.greatest(F.col("p.doc_id"), F.col("i.doc_id")).alias("doc_b"),
+            )
+            .distinct()
+        )
+        cand_ids = (
+            cand.select(F.col("doc_a").alias("conv_id"))
+            .unionByName(cand.select(F.col("doc_b").alias("conv_id")))
+            .distinct()
+        )
+        # exact verify assembles ONLY candidate conversations
+        cand_docs = _docs_frame(
+            turns_now.join(F.broadcast(cand_ids), "conv_id", "semi")
+        )
+        new_pairs = _exact_jaccard(
+            cand, char_shingles(cand_docs, args.k), args.threshold
+        )
+
+    rows = spark.read.parquet(data_dir).count()
+    out["index_rows"] = rows
+    if new_pairs is not None:
+        if args.pairs_out:
+            new_pairs.write.mode("overwrite").parquet(args.pairs_out)
+            out["new_pairs"] = spark.read.parquet(args.pairs_out).count()
+            out["pairs_path"] = args.pairs_out
+        else:
+            out["new_pairs"] = new_pairs.count()
+    prev_data = prior_meta["data_dir"] if prior_meta else None
+    with open(meta_path + ".tmp", "w") as f:
+        json.dump({"table_version": to_version, **params,
+                   "data_dir": data_dir, "index_rows": rows}, f)
+    os.replace(meta_path + ".tmp", meta_path)  # atomic pointer swap
+    if prev_data and os.path.abspath(prev_data) != os.path.abspath(data_dir):
+        shutil.rmtree(prev_data, ignore_errors=True)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -120,8 +120,12 @@ def main() -> int:
 
     if meta is None:
         out.setdefault("mode", "build")
+        # pin the read to to_version: a commit landing between
+        # current_version() and the read would otherwise leak
+        # post-to_version events into a rollup whose meta records
+        # to_version (mixed-snapshot output until the next refresh)
         rollup = rollup_timeseries(
-            _events_frame(tbl, key_cols), grains=grains,
+            _events_frame(tbl, key_cols, version=to_version), grains=grains,
             key_cols=key_cols, value_col="n_tokens",
         )
         rollup.write.mode("overwrite").parquet(data_dir)
@@ -154,8 +158,8 @@ def main() -> int:
         out["dirty_cells"] = dirty.count()
         stale = spark.read.parquet(meta["data_dir"])
         refreshed = refresh_rollup(
-            _events_frame(tbl, key_cols), stale, dirty, grains=grains,
-            key_cols=key_cols, value_col="n_tokens",
+            _events_frame(tbl, key_cols, version=to_version), stale, dirty,
+            grains=grains, key_cols=key_cols, value_col="n_tokens",
         )
         refreshed.write.mode("overwrite").parquet(data_dir)
         release_rollup_partials()

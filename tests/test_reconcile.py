@@ -260,18 +260,40 @@ def test_salted_identical_rows_spread_across_salts(spark):
         src, tgt, ["conv_id", "turn_idx"], n_salts=8, hot_threshold=2
     )
     assert salted.count() == plain == 64 * 3
-    # distribution check: replicate the salt expression on the tagged
-    # frame — identical rows must land in >1 salt bucket
+    # determinism check (r5): the salt must contain NO nondeterministic
+    # expression — a stage retry must replay byte-identical salts
+    # (monotonically_increasing_id made the map stage indeterminate)
+    plan = salted._jdf.queryExecution().analyzed().toString()
+    assert "monotonically_increasing_id" not in plan
+    # distribution check: replicate the count-expand salting — a
+    # 64-duplicate row (S=8) carries share 64 DIV 8 = 8 on EVERY slot,
+    # so its copies occupy all 8 salt values
     lt = src.select([F.col(c).alias(f"l_{c}") for c in src.columns])
+    l_dist = lt.groupBy(*lt.columns).agg(F.count(F.lit(1)).alias("_lc"))
     n_salt_values = (
-        lt.withColumn(
+        l_dist.withColumn("_slot", F.explode(F.sequence(F.lit(0), F.lit(7))))
+        .withColumn(
             "_salt",
             F.pmod(
-                F.xxhash64(*[F.col(c) for c in lt.columns],
-                           F.monotonically_increasing_id()),
+                F.xxhash64(*[F.col(c) for c in lt.columns]) + F.col("_slot"),
                 F.lit(8),
             ),
         )
         .select("_salt").distinct().count()
     )
-    assert n_salt_values > 1
+    assert n_salt_values == 8
+
+
+def test_salted_chunked_reexpansion(spark):
+    """A duplicate count whose per-slot share exceeds the re-expansion
+    chunk (4096) must round-trip exactly through the chunked explode:
+    n_salts=1 puts all 6000 copies on one slot -> 2 chunks."""
+    from etl_reconciliate_spark.operators.skew import salted_full_outer
+
+    rows_s = [("hot", 0, "dup")] * 6000
+    rows_t = [("hot", 0, "t0"), ("hot", 0, "t1")]
+    src, tgt = _df(spark, rows_s), _df(spark, rows_t)
+    salted = salted_full_outer(
+        src, tgt, ["conv_id", "turn_idx"], n_salts=1, hot_threshold=2
+    )
+    assert salted.count() == 6000 * 2
