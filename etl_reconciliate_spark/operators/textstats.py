@@ -169,15 +169,14 @@ def lang_pred_column(text_col: str = "text") -> Column:
     return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
-def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Marker-n-gram language ID over {en,es,de,fr} ('und' when no
-    marker hits). Greatest-score wins; ties break by language order via
-    a structured argmax (greatest over (score, rank) structs)."""
+def lang_id_columns(text_col: str = "text") -> dict[str, Column]:
+    """Per-language marker scores + the argmax prediction as named
+    Columns (join-free composition, same contract as
+    ``quality_columns``). The argmax reuses the SAME score expressions
+    emitted as columns — rebuilding the marker replace/length trees a
+    second time in the projection was an r4-review finding."""
     lower = F.concat(F.lit(" "), F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(" "))
     scores = {lang: _marker_score(lower, ms) for lang, ms in LANG_MARKERS.items()}
-    # argmax over the SAME score expressions emitted as columns — calling
-    # lang_pred_column() here would rebuild every marker replace/length
-    # tree a second time in the projection (r4 review)
     structs = [
         F.struct(
             scores[lang].alias("s"),
@@ -187,12 +186,20 @@ def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         for i, lang in enumerate(LANG_MARKERS)
     ]
     best = F.greatest(*structs)
+    out: dict[str, Column] = {
+        f"score_{lang}": scores[lang] for lang in LANG_MARKERS
+    }
+    out["lang_pred"] = F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return out
+
+
+def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-n-gram language ID over {en,es,de,fr} ('und' when no
+    marker hits). Greatest-score wins; ties break by language order via
+    a structured argmax (greatest over (score, rank) structs)."""
+    cols = lang_id_columns(text_col)
     return docs.select(
-        "doc_id",
-        *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
-        F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
-            "lang_pred"
-        ),
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
     )
 
 
@@ -225,6 +232,14 @@ FROM s
 
 
 # ----------------------------------------------------------- fingerprint
+
+def fingerprint_column(text_col: str = "text") -> Column:
+    """The fingerprint expression alone (join-free composition)."""
+    norm = F.lower(
+        F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "))
+    )
+    return F.md5(norm)
+
 
 def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprint: md5 of whitespace-normalized lowercase text
