@@ -1839,22 +1839,43 @@ FROM src s FULL OUTER JOIN tgt t
 PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 
+PROFILE_NUMERIC = {"doc_id", "n_chars"}
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass profile incl. the r5 percentile columns (exact mode
+    here so DuckDB quantile_cont verifies them; percentile_mode="approx"
+    is the 100 TB path). Percentiles round to 6dp on both engines —
+    continuous interpolation is float arithmetic whose last bits the
+    engines need not share."""
     from etl_reconciliate_spark.operators.profile import column_profile
 
-    return column_profile(_t(spark, sf_dir, "documents"), PROFILE_COLS)
+    prof = column_profile(_t(spark, sf_dir, "documents"), PROFILE_COLS)
+    return prof.select(
+        "column", "n_rows", "n_null", "n_distinct", "min_str", "max_str",
+        F.round(F.col("p_lo"), 6).alias("p50_r"),
+        F.round(F.col("p_hi"), 6).alias("p99_r"),
+    )
 
 
 def _sql_table_profile() -> str:
-    parts = [
-        f"""SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+    parts = []
+    for c in PROFILE_COLS:
+        if c in PROFILE_NUMERIC:
+            p50 = f"ROUND(CAST(quantile_cont({c}, 0.5) AS DOUBLE), 6)"
+            p99 = f"ROUND(CAST(quantile_cont({c}, 0.99) AS DOUBLE), 6)"
+        else:
+            p50 = p99 = "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"""SELECT '{c}' AS "column", COUNT(*) AS n_rows,
        CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        COUNT(DISTINCT {c}) AS n_distinct,
        MIN(CAST({c} AS VARCHAR)) AS min_str,
-       MAX(CAST({c} AS VARCHAR)) AS max_str
+       MAX(CAST({c} AS VARCHAR)) AS max_str,
+       {p50} AS p50_r,
+       {p99} AS p99_r
 FROM documents"""
-        for c in PROFILE_COLS
-    ]
+        )
     return " UNION ALL ".join(parts)
 
 

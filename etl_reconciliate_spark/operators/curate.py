@@ -42,6 +42,21 @@ from etl_reconciliate_spark.operators.textstats import (
     with_fingerprint,
 )
 
+# most recent call's persisted survivor frame (single slot; see the
+# cache contract in curate_corpus and the handle variant in plans.cache)
+_LAST_SURVIVORS: list[DataFrame] = []
+
+
+def release_curate_cache() -> None:
+    """Unpersist the survivor cache of the most recent
+    :func:`curate_corpus` call (safe any time — Spark recomputes
+    evicted partitions from lineage)."""
+    while _LAST_SURVIVORS:
+        try:
+            _LAST_SURVIVORS.pop().unpersist(blocking=True)
+        except Exception:  # session already stopped
+            pass
+
 
 def curate_corpus(
     docs: DataFrame,
@@ -53,6 +68,8 @@ def curate_corpus(
     rows_per_band: int = 4,
     jaccard_threshold: float = 0.5,
     keep_cols: tuple[str, ...] = (),
+    persist_survivors: bool = True,
+    cache=None,
 ) -> DataFrame:
     """Returns the curated corpus: (doc_id, lang_pred, n_tokens,
     quality_score) for every document surviving all four stages.
@@ -60,7 +77,23 @@ def curate_corpus(
     The two gates are pure column algebra folded into ONE projection of
     the input scan (no self-joins: at 100 TB, joining three scans of
     the same table on doc_id would triple the read and add two
-    shuffles)."""
+    shuffles).
+
+    Cache contract (r5 — the r4 bench drift was real): the exact-dedup
+    survivor frame feeds THREE lazy consumers (the LSH signature build,
+    the pruned verify's semi-join, and the final anti-join), and
+    without a persist each re-executes the gate+fingerprint-WINDOW
+    lineage — the executed plan held 14 scans and 21 window executions
+    of the same shuffle. ``persist_survivors`` (default) persists the
+    KEEP-ID SET only (bounded by distinct fingerprints — tiny), so the
+    window shuffle runs exactly once while the gates — shuffle-free
+    column algebra over a pruned scan — re-run per consumer; caching
+    the full text-bearing frame instead measured SLOWER locally
+    (serialization tax) and would materialize a corpus-sized cache at
+    100 TB to save scans that are embarrassingly parallel anyway.
+    Lifecycle follows the standard pattern: pass ``cache``
+    (plans.cache.CacheHandle) to own it; else the module slot holds it
+    and :func:`release_curate_cache` (or the next call) releases it."""
     qc = quality_columns()
     gated = docs.select(
         "doc_id",
@@ -81,6 +114,19 @@ def curate_corpus(
         .filter(F.col("_rn") == 1)
         .select("doc_id")
     )
+    if persist_survivors:
+        from pyspark import StorageLevel
+
+        if cache is not None:
+            exact_keep = cache.add(
+                exact_keep.persist(StorageLevel.MEMORY_AND_DISK)
+            )
+        else:
+            # release BEFORE persisting (same-CacheManager-entry rule —
+            # see spans.duplicated_span_stats)
+            release_curate_cache()
+            exact_keep = exact_keep.persist(StorageLevel.MEMORY_AND_DISK)
+            _LAST_SURVIVORS.append(exact_keep)
     exact = gated.join(exact_keep, "doc_id")
 
     pairs = lsh_jaccard_pairs(

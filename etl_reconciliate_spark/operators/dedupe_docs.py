@@ -219,6 +219,27 @@ def minhash_near_dup_pairs(
     )
 
 
+def _pruned_verify_inputs(
+    docs: DataFrame, cand: DataFrame, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize the (small) candidate-pair set and prune the verify
+    shingling to candidate DOCS only (r5): without this the verify
+    exploded the whole corpus a second time — candidate docs are a
+    sliver of it (near-dups ∝ corpus duplication rate). The
+    ``localCheckpoint`` is deliberate: ``cand`` feeds both the id list
+    and the verify join, and a lazy plan would run the bucket join
+    twice; the pair set is pair-count-sized, the same lifecycle as the
+    connected-components edge set."""
+    cand = cand.localCheckpoint()
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    needed = docs.join(cand_ids, "doc_id", "semi")
+    return cand, char_shingles(needed, k)
+
+
 def lsh_jaccard_pairs(
     docs: DataFrame,
     k: int = 8,
@@ -231,12 +252,13 @@ def lsh_jaccard_pairs(
     (doc_a, doc_b, n_common, jaccard) for candidate pairs ≥ threshold.
 
     Cost model at 100 TB: candidates ∝ n_docs × n_bands (bucket join),
-    and the exact shingle-overlap verify touches only candidate pairs —
-    never the n² of ``ngram_jaccard_pairs``, which stays as the
-    small-scale exactness oracle."""
+    and the exact shingle-overlap verify shingles only candidate DOCS
+    and touches only candidate pairs — never the n² of
+    ``ngram_jaccard_pairs``, which stays as the small-scale exactness
+    oracle."""
     sig = minhash_signatures(docs, k, n_bands * rows_per_band)
     cand = lsh_candidate_pairs(sig, n_bands, rows_per_band)
-    sh = char_shingles(docs, k)
+    cand, sh = _pruned_verify_inputs(docs, cand, k)
     return _exact_jaccard(cand, sh, threshold)
 
 
@@ -301,7 +323,8 @@ def lsh_scored_pairs(
         .withColumn("est_jaccard", est / F.lit(float(n_hashes)))
         .select("doc_a", "doc_b", "est_jaccard")
     )
-    return _exact_jaccard(scored, char_shingles(docs, k), threshold)
+    scored, sh = _pruned_verify_inputs(docs, scored, k)
+    return _exact_jaccard(scored, sh, threshold)
 
 
 def incremental_lsh_jaccard_pairs(
@@ -356,16 +379,11 @@ def incremental_lsh_jaccard_pairs(
         )
         .distinct()
     )
-    cand_ids = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
     # candidate docs only — at scale this is a keyed point-read
-    # (TargetTable.read_keys bucket pruning), not a corpus scan; AQE
-    # broadcasts the candidate-id side when it is small
-    needed = corpus.join(cand_ids, "doc_id", "semi")
-    return _exact_jaccard(cand, char_shingles(needed, k), threshold)
+    # (TargetTable.read_keys bucket pruning), not a corpus scan; the
+    # pair set is localCheckpoint-ed so the index probe runs once
+    cand, sh = _pruned_verify_inputs(corpus, cand, k)
+    return _exact_jaccard(cand, sh, threshold)
 
 
 # --------------------------------------------------------------- SimHash

@@ -27,9 +27,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def column_profile(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    percentiles: tuple[float, float] = (0.5, 0.99),
+    percentile_mode: str = "exact",
+) -> DataFrame:
     """Long-format profile: (column, n_rows, n_null, n_distinct,
-    min_str, max_str) — one row per profiled column, ONE pass."""
+    min_str, max_str, p_lo, p_hi) — one row per profiled column, ONE
+    pass.
+
+    ``p_lo``/``p_hi`` (defaults: p50/p99) are distribution percentiles
+    for NUMERIC columns (null otherwise) — min/max ranges miss
+    interior distribution drift that a median/tail quantile catches
+    (r4 verdict item 8). ``percentile_mode="exact"`` uses the exact
+    ``percentile`` aggregate (continuous interpolation — DuckDB
+    ``quantile_cont``-verifiable); ``"approx"`` swaps in
+    ``percentile_approx`` (t-digest-style sketch, constant memory) —
+    the right mode at 100 TB where an exact percentile would sort each
+    column."""
+    from pyspark.sql import types as T
+
+    if percentile_mode not in ("exact", "approx"):
+        raise ValueError(f"unknown percentile_mode: {percentile_mode!r}")
+    pct = F.percentile if percentile_mode == "exact" else F.percentile_approx
+    lo, hi = percentiles
     use = cols or df.columns
     aggs = [F.count(F.lit(1)).alias("_n")]
     # POSITIONAL intermediate aliases (_null_0, ...) — embedding the raw
@@ -39,15 +61,24 @@ def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     # name only ever appears as an escaped string literal.
     for i, c in enumerate(use):
         s = F.col(c).cast("string")
+        numeric = isinstance(df.schema[c].dataType, T.NumericType)
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{i}"),
             F.countDistinct(F.col(c)).alias(f"_dist_{i}"),
             F.min(s).alias(f"_min_{i}"),
             F.max(s).alias(f"_max_{i}"),
+            (
+                pct(F.col(c), F.lit(lo)).cast("double")
+                if numeric else F.lit(None).cast("double")
+            ).alias(f"_plo_{i}"),
+            (
+                pct(F.col(c), F.lit(hi)).cast("double")
+                if numeric else F.lit(None).cast("double")
+            ).alias(f"_phi_{i}"),
         ]
     wide = df.agg(*aggs)
     stack = ", ".join(
-        "'{}', _null_{i}, _dist_{i}, _min_{i}, _max_{i}".format(
+        "'{}', _null_{i}, _dist_{i}, _min_{i}, _max_{i}, _plo_{i}, _phi_{i}".format(
             c.replace("'", "''"), i=i
         )
         for i, c in enumerate(use)
@@ -55,10 +86,13 @@ def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return wide.select(
         F.expr(
             f"stack({len(use)}, {stack}) AS "
-            "(column, n_null, n_distinct, min_str, max_str)"
+            "(column, n_null, n_distinct, min_str, max_str, p_lo, p_hi)"
         ),
         F.col("_n").alias("n_rows"),
-    ).select("column", "n_rows", "n_null", "n_distinct", "min_str", "max_str")
+    ).select(
+        "column", "n_rows", "n_null", "n_distinct", "min_str", "max_str",
+        "p_lo", "p_hi",
+    )
 
 
 def profile_drift(

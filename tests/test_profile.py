@@ -129,3 +129,29 @@ def test_profile_non_identifier_column_names(spark):
     p = {r.column: r for r in column_profile(df).collect()}
     assert set(p) == {"a b", "o'brien"}
     assert p["o'brien"].n_null == 1 and p["a b"].n_distinct == 2
+
+
+def test_profile_percentiles_exact_and_approx(spark):
+    """Numeric columns get p50/p99 (exact: continuous interpolation);
+    string columns get typed nulls; approx mode returns a real value
+    from the data domain (sketch-based, not interpolated)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_reconciliate_spark.operators.profile import column_profile
+
+    df = spark.range(0, 101).select(
+        F.col("id").alias("v"), F.lit("x").alias("s")
+    )
+    prof = {r["column"]: r for r in column_profile(df).collect()}
+    # 101 values 0..100: p50 rank 50 -> 50.0, p99 rank 99 -> 99.0
+    assert prof["v"]["p_lo"] == 50.0 and prof["v"]["p_hi"] == 99.0
+    assert prof["s"]["p_lo"] is None and prof["s"]["p_hi"] is None
+
+    approx = {
+        r["column"]: r
+        for r in column_profile(df, percentile_mode="approx").collect()
+    }
+    assert abs(approx["v"]["p_lo"] - 50.0) <= 1.0
+    with pytest.raises(ValueError, match="percentile_mode"):
+        column_profile(df, percentile_mode="bogus")

@@ -128,3 +128,25 @@ def test_footer_index_backfills_missing_stats(tmp_path):
     idx = footer_index(str(d))
     assert len(idx) == 1
     assert idx[0]["lsn_lo"] == 3 and idx[0]["lsn_hi"] == 11
+
+
+def test_empty_slice_plans_one_epoch_scan(spark, tmp_path):
+    """A slice entirely outside the log's LSN range must return an
+    empty-but-typed frame planned over ONE epoch only — the earlier
+    fallback unioned every epoch, planning a scan of the whole log for
+    a provably-empty result (r4 verdict item 6)."""
+    from etl_reconciliate_spark.datagen import gen_changelog, write_changelog
+    from etl_reconciliate_spark.sources.changelog import ChangeLogSource
+
+    df = gen_changelog(500, seed=3)
+    p = str(tmp_path / "log")
+    write_changelog(spark, df, p, epoch_lsn=100)
+    src = ChangeLogSource(spark, p)
+    assert len(src._epochs) >= 2  # multi-epoch, or the test proves nothing
+    sl = src.read_slice(10_000_000, 10_050_000)  # beyond max_lsn
+    assert sl.count() == 0
+    assert "lsn" in sl.columns  # typed, usable downstream
+    plan = sl._jdf.queryExecution().executedPlan().toString()
+    import re
+    n_scans = len(re.findall(r"Scan parquet|FileScan", plan))
+    assert n_scans == 1, f"expected 1 epoch scan, plan has {n_scans}"
