@@ -477,8 +477,6 @@ def q_textstats_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_textstats_basics() -> str:
-    from etl_reconciliate_spark.functions.hashing import hash32_sql  # noqa: F401
-
     return rf"""
 WITH {_sql_simhash_cte()},
 tok AS (

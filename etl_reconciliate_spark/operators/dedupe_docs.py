@@ -327,6 +327,29 @@ def lsh_scored_pairs(
     return _exact_jaccard(scored, sh, threshold)
 
 
+def probe_band_index(fresh: DataFrame, index: DataFrame) -> DataFrame:
+    """Candidate pairs from probing ``fresh`` band rows against a band
+    index (both in :func:`minhash_band_index` shape): docs sharing any
+    (band, bh) bucket, oriented (doc_a < doc_b) to match every oracle
+    and verifier in this module. Shared by
+    :func:`incremental_lsh_jaccard_pairs` and ``jobs/dedup_index_job``
+    so the orientation invariant has exactly one implementation."""
+    p, i = fresh.alias("p"), index.alias("i")
+    return (
+        p.join(
+            i,
+            (F.col("p.band") == F.col("i.band"))
+            & (F.col("p.bh") == F.col("i.bh"))
+            & (F.col("p.doc_id") != F.col("i.doc_id")),
+        )
+        .select(
+            F.least(F.col("p.doc_id"), F.col("i.doc_id")).alias("doc_a"),
+            F.greatest(F.col("p.doc_id"), F.col("i.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def incremental_lsh_jaccard_pairs(
     corpus: DataFrame,
     delta_ids: DataFrame,
@@ -365,20 +388,7 @@ def incremental_lsh_jaccard_pairs(
     if index is None:
         index = minhash_band_index(corpus, k, n_bands, rows_per_band)
     dband = minhash_band_index(delta_docs, k, n_bands, rows_per_band)
-    p, i = dband.alias("p"), index.alias("i")
-    cand = (
-        p.join(
-            i,
-            (F.col("p.band") == F.col("i.band"))
-            & (F.col("p.bh") == F.col("i.bh"))
-            & (F.col("p.doc_id") != F.col("i.doc_id")),
-        )
-        .select(
-            F.least(F.col("p.doc_id"), F.col("i.doc_id")).alias("doc_a"),
-            F.greatest(F.col("p.doc_id"), F.col("i.doc_id")).alias("doc_b"),
-        )
-        .distinct()
-    )
+    cand = probe_band_index(dband, index)
     # candidate docs only — at scale this is a keyed point-read
     # (TargetTable.read_keys bucket pruning), not a corpus scan; the
     # pair set is localCheckpoint-ed so the index probe runs once

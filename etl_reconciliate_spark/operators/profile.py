@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, functions as F
 def column_profile(
     df: DataFrame,
     cols: list[str] | None = None,
-    percentiles: tuple[float, float] = (0.5, 0.99),
+    percentiles: tuple[float, float] | None = (0.5, 0.99),
     percentile_mode: str = "exact",
 ) -> DataFrame:
     """Long-format profile: (column, n_rows, n_null, n_distinct,
@@ -40,18 +40,19 @@ def column_profile(
     ``p_lo``/``p_hi`` (defaults: p50/p99) are distribution percentiles
     for NUMERIC columns (null otherwise) — min/max ranges miss
     interior distribution drift that a median/tail quantile catches
-    (r4 verdict item 8). ``percentile_mode="exact"`` uses the exact
-    ``percentile`` aggregate (continuous interpolation — DuckDB
-    ``quantile_cont``-verifiable); ``"approx"`` swaps in
-    ``percentile_approx`` (t-digest-style sketch, constant memory) —
-    the right mode at 100 TB where an exact percentile would sort each
-    column."""
+    (r4 verdict item 8). ``percentiles=None`` skips them entirely
+    (typed-null output columns, zero aggregate cost).
+    ``percentile_mode="exact"`` uses the exact ``percentile`` aggregate
+    (continuous interpolation — DuckDB ``quantile_cont``-verifiable);
+    ``"approx"`` swaps in ``percentile_approx`` (constant-memory
+    sketch) — the right mode at 100 TB where an exact percentile would
+    sort each column."""
     from pyspark.sql import types as T
 
     if percentile_mode not in ("exact", "approx"):
         raise ValueError(f"unknown percentile_mode: {percentile_mode!r}")
     pct = F.percentile if percentile_mode == "exact" else F.percentile_approx
-    lo, hi = percentiles
+    lo, hi = percentiles if percentiles is not None else (None, None)
     use = cols or df.columns
     aggs = [F.count(F.lit(1)).alias("_n")]
     # POSITIONAL intermediate aliases (_null_0, ...) — embedding the raw
@@ -61,7 +62,10 @@ def column_profile(
     # name only ever appears as an escaped string literal.
     for i, c in enumerate(use):
         s = F.col(c).cast("string")
-        numeric = isinstance(df.schema[c].dataType, T.NumericType)
+        numeric = (
+            percentiles is not None
+            and isinstance(df.schema[c].dataType, T.NumericType)
+        )
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{i}"),
             F.countDistinct(F.col(c)).alias(f"_dist_{i}"),
@@ -96,15 +100,25 @@ def column_profile(
 
 
 def profile_drift(
-    src: DataFrame, tgt: DataFrame, cols: list[str] | None = None
+    src: DataFrame,
+    tgt: DataFrame,
+    cols: list[str] | None = None,
+    percentiles: tuple[float, float] | None = (0.5, 0.99),
 ) -> DataFrame:
     """Join the two profiles: per-column stat deltas + a drifted flag.
 
     A full-outer join on column name (constant-size inputs), so columns
     present on one side only (schema drift) surface as rows too.
+    Percentile drift (p_lo/p_hi null-safe inequality) participates in
+    the flag, catching interior-distribution shifts that leave
+    count/null/distinct/min/max untouched (r4 verdict item 8); pass
+    ``percentiles=None`` to skip the (sort-heavy exact) percentile
+    aggregates when only the cheap stats matter. Exact mode only: an
+    approx sketch's value can depend on partition order, which would
+    make the drifted flag flap on byte-identical data.
     """
-    p_s = column_profile(src, cols)
-    p_t = column_profile(tgt, cols)
+    p_s = column_profile(src, cols, percentiles=percentiles)
+    p_t = column_profile(tgt, cols, percentiles=percentiles)
     s = p_s.select([F.col(c).alias(f"src_{c}" if c != "column" else c) for c in p_s.columns])
     t = p_t.select([F.col(c).alias(f"tgt_{c}" if c != "column" else c) for c in p_t.columns])
     j = s.join(t, "column", "full_outer")
@@ -116,6 +130,8 @@ def profile_drift(
         | (F.col("src_n_distinct") != F.col("tgt_n_distinct"))
         | ~F.col("src_min_str").eqNullSafe(F.col("tgt_min_str"))
         | ~F.col("src_max_str").eqNullSafe(F.col("tgt_max_str"))
+        | ~F.col("src_p_lo").eqNullSafe(F.col("tgt_p_lo"))
+        | ~F.col("src_p_hi").eqNullSafe(F.col("tgt_p_hi"))
     )
     return j.select(
         "column",

@@ -28,9 +28,10 @@ rows — r4 advice):
    duplicate deliveries — the very pathology that makes transcript keys
    hot — collapse map-side via partial agg, and the exchange hashes the
    FULL row, uniform even for the hottest key);
-2. a distinct L row's ``c`` copies spread across ``ceil(c/S)`` salt
-   slots with shares ``c div S (+1)``, anchored at the row's content
-   hash so singletons scatter uniformly instead of piling on slot 0;
+2. a distinct L row's ``c`` copies spread across ``min(c, S)`` salt
+   slots with per-slot shares ``c div S`` (+1 for the first
+   ``c mod S`` slots), anchored at the row's content hash so
+   singletons scatter uniformly instead of piling on slot 0;
 3. distinct R rows replicate across all S salts (probe side);
 4. after the (keys, salt) join each (l, r) pair re-expands
    ``share × r_count`` times via a chunked explode (bounded arrays).

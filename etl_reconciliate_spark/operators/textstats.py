@@ -243,12 +243,17 @@ def fingerprint_column(text_col: str = "text") -> Column:
 
 def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprint: md5 of whitespace-normalized lowercase text
-    — the exact-dedup key (rolling-hash-equivalent at document scope)."""
+    — the exact-dedup key (rolling-hash-equivalent at document scope).
+    The fingerprint expression is :func:`fingerprint_column` — ONE
+    implementation, or the exact-dedup key could silently diverge
+    between consumers (r5 review)."""
     norm = F.lower(
         F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "))
     )
     return docs.select(
-        "doc_id", F.md5(norm).alias("fingerprint"), F.length(norm).alias("norm_len")
+        "doc_id",
+        fingerprint_column(text_col).alias("fingerprint"),
+        F.length(norm).alias("norm_len"),
     )
 
 

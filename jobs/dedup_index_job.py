@@ -86,7 +86,9 @@ def main() -> int:
     from etl_reconciliate_spark.operators.dedupe_docs import (
         _exact_jaccard,
         char_shingles,
+        lsh_jaccard_pairs,
         minhash_band_index,
+        probe_band_index,
     )
     from etl_reconciliate_spark.target.table import TargetTable
 
@@ -128,11 +130,22 @@ def main() -> int:
 
     if meta is None:
         out["mode"] = "build" if prior_meta is None else "rebuild_expired_base"
-        idx = build_index(_docs_frame(tbl.read(version=to_version)))
+        docs = _docs_frame(tbl.read(version=to_version))
+        idx = build_index(docs)
         idx.write.mode("overwrite").option("compression", "zstd").parquet(
             data_dir
         )
         out["changed_docs"] = None
+        if args.pairs_out:
+            # a (re)build with --pairs-out must not leave a previous
+            # refresh's pairs file in place as if it were this run's
+            # output — write the FULL-corpus pair set (the initial
+            # dedup a build is for)
+            new_pairs = lsh_jaccard_pairs(
+                docs, k=args.k, n_bands=args.bands,
+                rows_per_band=args.rows_per_band,
+                threshold=args.threshold,
+            )
     elif meta["table_version"] == to_version:
         out.update(mode="refresh", from_version=to_version,
                    changed_docs=0, new_pairs=0,
@@ -142,10 +155,14 @@ def main() -> int:
     else:
         from_version = meta["table_version"]
         out.update(mode="refresh", from_version=from_version)
+        # changed-key-count-sized and consumed three times (count, the
+        # delta semi-join, the stale anti-join) — materialize once so
+        # the CDC read does not run per consumer
         changed = (
             tbl.read_changes(from_version, to_version)
             .select(F.col("conv_id").alias("doc_id"))
             .distinct()
+            .localCheckpoint()
         )
         # O(drift): only changed conversations are re-assembled — the
         # semi-join filters the TURNS frame, below the assembly groupBy
@@ -165,20 +182,7 @@ def main() -> int:
         )
         idx = spark.read.parquet(data_dir)
         # probe fresh rows against the refreshed index → NEW pairs
-        p, i = fresh.alias("p"), idx.alias("i")
-        cand = (
-            p.join(
-                i,
-                (F.col("p.band") == F.col("i.band"))
-                & (F.col("p.bh") == F.col("i.bh"))
-                & (F.col("p.doc_id") != F.col("i.doc_id")),
-            )
-            .select(
-                F.least(F.col("p.doc_id"), F.col("i.doc_id")).alias("doc_a"),
-                F.greatest(F.col("p.doc_id"), F.col("i.doc_id")).alias("doc_b"),
-            )
-            .distinct()
-        )
+        cand = probe_band_index(fresh, idx)
         cand_ids = (
             cand.select(F.col("doc_a").alias("conv_id"))
             .unionByName(cand.select(F.col("doc_b").alias("conv_id")))
@@ -201,13 +205,18 @@ def main() -> int:
             out["pairs_path"] = args.pairs_out
         else:
             out["new_pairs"] = new_pairs.count()
-    prev_data = prior_meta["data_dir"] if prior_meta else None
     with open(meta_path + ".tmp", "w") as f:
         json.dump({"table_version": to_version, **params,
                    "data_dir": data_dir, "index_rows": rows}, f)
     os.replace(meta_path + ".tmp", meta_path)  # atomic pointer swap
-    if prev_data and os.path.abspath(prev_data) != os.path.abspath(data_dir):
-        shutil.rmtree(prev_data, ignore_errors=True)
+    # sweep EVERY data-v* dir the fresh meta no longer points at — the
+    # prior meta's dir, plus any orphan a crash left between a write
+    # and its pointer swap (those accumulate corpus-sized copies)
+    for d in os.listdir(args.index_dir):
+        full = os.path.join(args.index_dir, d)
+        if (d.startswith("data-v") and os.path.isdir(full)
+                and os.path.abspath(full) != os.path.abspath(data_dir)):
+            shutil.rmtree(full, ignore_errors=True)
     print(json.dumps(out))
     return 0
 

@@ -166,16 +166,19 @@ def main() -> int:
 
     rows = spark.read.parquet(data_dir).count()
     out["rollup_rows"] = rows
-    # clean up whatever data dir the PRIOR meta pointed at (covers both
-    # refresh and rebuild-over-existing, which previously orphaned it)
-    prev_data = prior_meta["data_dir"] if prior_meta else None
     with open(meta_path + ".tmp", "w") as f:
         json.dump({"table_version": to_version, "grains": list(grains),
                    "key_cols": list(key_cols), "data_dir": data_dir,
                    "rollup_rows": rows}, f)
     os.replace(meta_path + ".tmp", meta_path)  # atomic pointer swap
-    if prev_data and os.path.abspath(prev_data) != os.path.abspath(data_dir):
-        shutil.rmtree(prev_data, ignore_errors=True)
+    # sweep EVERY data-v* dir the fresh meta no longer points at — the
+    # prior meta's dir, plus any orphan a crash left between a write
+    # and its pointer swap (r5 review: those accumulate silently)
+    for d in os.listdir(args.rollup_dir):
+        full = os.path.join(args.rollup_dir, d)
+        if (d.startswith("data-v") and os.path.isdir(full)
+                and os.path.abspath(full) != os.path.abspath(data_dir)):
+            shutil.rmtree(full, ignore_errors=True)
     print(json.dumps(out))
     return 0
 

@@ -16,7 +16,9 @@ from etl_reconciliate_spark.operators.dedupe_docs import (
 )
 from etl_reconciliate_spark.target.table import TargetTable
 
-sys.path.insert(0, "/root/repo/jobs")
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
 try:
     import dedup_index_job
 finally:
@@ -133,3 +135,31 @@ def test_dedup_index_job_cycle(spark, tmp_path, capsys, monkeypatch):
         ).collect()
     }
     assert refreshed == rebuilt
+
+
+def test_dedup_index_job_pairs_out_and_orphan_sweep(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """--pairs-out on a BUILD writes the full-corpus pair set (not a
+    stale file from a prior refresh), and the pointer swap sweeps any
+    orphaned data-v* dir a crash left behind."""
+    import os
+
+    tbl = TargetTable(spark, str(tmp_path / "t"), n_buckets=2, mode="mor")
+    tbl.init(SCHEMA)
+    tbl.merge_apply(spark.createDataFrame([
+        (1, "I", "c1", 0, "user", LONG, T0),
+        (2, "I", "c2", 0, "user", LONG + " extra", T0),
+    ], BATCH), {"lsn_hi": 2})
+
+    idir = str(tmp_path / "idx")
+    pdir = str(tmp_path / "pairs")
+    # simulate a crash orphan from a previous attempted run
+    os.makedirs(os.path.join(idir, "data-v999999"))
+    built = _run(monkeypatch, capsys, "--target", tbl.path,
+                 "--index-dir", idir, "--pairs-out", pdir)
+    assert built["mode"] == "build"
+    assert built["new_pairs"] == 1  # (c1, c2) are near-dups
+    pairs = {(r.doc_a, r.doc_b) for r in spark.read.parquet(pdir).collect()}
+    assert pairs == {("c1", "c2")}
+    assert not os.path.exists(os.path.join(idir, "data-v999999"))
