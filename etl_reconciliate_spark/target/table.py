@@ -79,14 +79,28 @@ class SchemaConflictError(RuntimeError):
 
 def _conform(df: DataFrame, want: T.StructType) -> DataFrame:
     """Pad columns missing from ``df`` with typed nulls and cast columns
-    whose type is narrower than ``want``'s (widening evolution)."""
+    whose type is narrower than ``want``'s (widening evolution).
+
+    ONE select, not a ``withColumn`` loop — this runs on every base and
+    delta dir of every read, and per-column ``withColumn`` stacks one
+    Project node per evolved column into every such subplan (pure
+    analyzer/optimizer tax on the hottest path — r5 review). Column
+    order and passthrough extras (the ``_lsn``/``_deleted`` meta cols)
+    are preserved exactly as the loop produced them: existing columns
+    in place, missing ``want`` columns appended."""
     have = {f_.name: f_.dataType for f_ in df.schema.fields}
+    want_types = {f_.name: f_.dataType for f_ in want.fields}
+    cols = []
+    for name in df.columns:
+        w = want_types.get(name)
+        if w is not None and have[name] != w:
+            cols.append(F.col(name).cast(w).alias(name))
+        else:
+            cols.append(F.col(name))
     for f_ in want.fields:
         if f_.name not in have:
-            df = df.withColumn(f_.name, F.lit(None).cast(f_.dataType))
-        elif have[f_.name] != f_.dataType:
-            df = df.withColumn(f_.name, F.col(f_.name).cast(f_.dataType))
-    return df
+            cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+    return df.select(cols)
 
 
 class CommitConflictError(RuntimeError):
@@ -358,11 +372,13 @@ class TargetTable:
 
         def _read_pruned(data_dir: str) -> DataFrame | None:
             paths = []
+            # glob.escape the directory part: a table path containing
+            # glob metacharacters ('[', '?', '*') would otherwise match
+            # nothing and silently return empty lookups (r5 review)
+            base = glob.escape(os.path.join(self.path, data_dir))
             for b in buckets:
                 paths.extend(
-                    glob.glob(
-                        os.path.join(self.path, data_dir, f"part-{b:05d}-*.parquet")
-                    )
+                    glob.glob(os.path.join(base, f"part-{b:05d}-*.parquet"))
                 )
             if not paths:
                 return None  # all matching buckets empty in this dir
@@ -788,7 +804,11 @@ class TargetTable:
                 pass
         return stats
 
-    def compact(self, drop_tombstones: bool | None = None) -> dict:
+    def compact(
+        self,
+        drop_tombstones: bool | None = None,
+        allow_unordered_drop: bool = False,
+    ) -> dict:
         """Fold all deltas into a new base snapshot (MoR maintenance);
         on a cow table, act as the tombstone VACUUM (full sorted rewrite
         dropping ``_deleted`` rows — without it a delete-heavy cow table
@@ -798,12 +818,32 @@ class TargetTable:
         ``drop_tombstones`` defaults to ``self.ordered_commits``:
         dropping a tombstone is only safe when nothing older than it can
         ever be committed later (see class docstring); out-of-order
-        writers (file-source streaming) must retain them."""
+        writers (file-source streaming) must retain them. An EXPLICIT
+        ``True`` on a table whose metadata records
+        ``ordered_commits=False`` is refused (r5 review: maintain_job's
+        explicit bool silently bypassed the recorded guarantee, and a
+        later lower-LSN delivery would resurrect the deleted row) —
+        pass ``allow_unordered_drop=True`` only when the out-of-order
+        source is decommissioned and no stale delivery can ever arrive.
+
+        An explicit ``drop_tombstones=True`` on a MoR table with zero
+        pending deltas still rewrites the base (the vacuum request —
+        base-resident tombstones have no other exit); the no-delta
+        early-return applies only to the implicit maintenance call."""
+        explicit_drop = drop_tombstones is True
         if drop_tombstones is None:
             drop_tombstones = self.ordered_commits
+        if drop_tombstones and not self.ordered_commits and not allow_unordered_drop:
+            raise ValueError(
+                f"table {self.path} records ordered_commits=False: dropping "
+                "tombstones could resurrect deleted rows when an older-LSN "
+                "delivery arrives later. Retain them, or pass "
+                "allow_unordered_drop=True if the out-of-order source is "
+                "decommissioned."
+            )
         meta = self.metadata()
         table_mode = meta.get("mode", "cow")
-        if table_mode == "mor" and not meta.get("deltas"):
+        if table_mode == "mor" and not meta.get("deltas") and not explicit_drop:
             return {"version": meta["version"], "row_count": meta.get("row_count"),
                     "data_dir": meta["data_dir"], "n_deltas": 0}
         if table_mode == "cow" and not drop_tombstones:
@@ -917,6 +957,23 @@ class TargetTable:
         # work even when the kill lands between claim and publish).
         try:
             os.close(os.open(mp, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            # the O_EXCL claim can SUCCEED on a slot whose published
+            # metadata expire_snapshots already deleted — a stale writer
+            # (base read minutes ago, table since advanced past
+            # `version` and expired it) would otherwise proceed and
+            # REWIND the pointer, silently discarding every newer commit
+            # (r5 review). The pointer is the commit truth, not the slot
+            # file: re-check it after claiming.
+            if self.exists() and self.current_version() >= version:
+                try:
+                    os.remove(mp)
+                except OSError:
+                    pass
+                raise CommitConflictError(
+                    f"version {version} of {self.path} was already "
+                    f"published and expired; this writer's base snapshot "
+                    f"is stale — re-read metadata and retry"
+                )
         except FileExistsError:
             published = self.exists() and self.current_version() >= version
             age = time.time() - os.path.getmtime(mp)
@@ -937,6 +994,20 @@ class TargetTable:
         ptmp = f"{self._pointer}.{uuid.uuid4().hex[:8]}.tmp"
         with open(ptmp, "w") as f:
             f.write(str(version))
+        # never move the pointer BACKWARD: a racing writer may have
+        # published a newer version between our claim and here (e.g.
+        # both sides of a stale-claim takeover proceeding). The real
+        # backend (an Iceberg catalog) makes this a true CAS; the
+        # emulation narrows the check-to-replace window to microseconds
+        # and the claim protocol above makes a loser here unreachable
+        # in practice.
+        if self.exists() and self.current_version() > version:
+            os.remove(ptmp)
+            raise CommitConflictError(
+                f"version {version} of {self.path} was overtaken by a newer "
+                f"published version before its pointer swap; re-read "
+                f"metadata and retry"
+            )
         os.replace(ptmp, self._pointer)  # THE atomic commit point
 
     # ---------------------------------------------------------- history
@@ -945,8 +1016,13 @@ class TargetTable:
         for name in os.listdir(self.path):
             if name.startswith("v") and name.endswith(".json"):
                 # skip claim placeholders (empty files): they are
-                # in-flight commits, not published versions
-                if os.path.getsize(os.path.join(self.path, name)) == 0:
+                # in-flight commits, not published versions. A file
+                # removed between listdir and stat (concurrent
+                # expire_snapshots — r5 review) is simply gone.
+                try:
+                    if os.path.getsize(os.path.join(self.path, name)) == 0:
+                        continue
+                except FileNotFoundError:
                     continue
                 out.append(int(name[1:-5]))
         return sorted(out)
@@ -969,13 +1045,23 @@ class TargetTable:
         cur = self.current_version()
         drop = [v for v in vs[:-keep_last] if v != cur]
         keep = [v for v in vs if v not in drop]
+        # a CONCURRENT expirer (replay loop expires per slice while a
+        # cron maintain_job --expire-keep runs) may remove any of these
+        # files between our listing and our access — losing the race is
+        # fine, crashing the replay run mid-backlog is not (r5 review)
         referenced = set()
         for v in keep:
-            m = self.metadata(v)
+            try:
+                m = self.metadata(v)
+            except FileNotFoundError:
+                continue  # the other expirer dropped it → unreferenced
             referenced.add(m["data_dir"])
             referenced.update(m.get("deltas", []))
         for v in drop:
-            os.remove(self._meta_path(v))
+            try:
+                os.remove(self._meta_path(v))
+            except FileNotFoundError:
+                pass
         now = time.time()
         for name in os.listdir(self.path):
             if (

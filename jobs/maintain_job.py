@@ -35,8 +35,15 @@ def main() -> int:
     ap.add_argument("--compact", action="store_true")
     ap.add_argument("--retain-tombstones", action="store_true",
                     help="keep delete tombstones through compaction "
-                         "(REQUIRED for stream-fed tables whose commits "
-                         "are not LSN-ordered)")
+                         "(the default already retains them on tables "
+                         "whose recorded commits are not LSN-ordered; "
+                         "this forces retention everywhere)")
+    ap.add_argument("--force-drop-tombstones", action="store_true",
+                    help="vacuum tombstones EVEN on a table recorded as "
+                         "out-of-order (ordered_commits=False) — only "
+                         "safe once the out-of-order source is "
+                         "decommissioned; also forces a base rewrite on "
+                         "a MoR table with zero pending deltas")
     ap.add_argument("--retries", type=int, default=3,
                     help="compaction retries on commit conflict with a "
                          "concurrent writer")
@@ -74,8 +81,17 @@ def main() -> int:
         stats = None
         for attempt in range(args.retries + 1):
             try:
+                # None = inherit the table's RECORDED ordering guarantee
+                # (r5 review: the old explicit bool silently overrode
+                # ordered_commits=False and could resurrect deletes)
+                drop = None
+                if args.retain_tombstones:
+                    drop = False
+                elif args.force_drop_tombstones:
+                    drop = True
                 stats = table.compact(
-                    drop_tombstones=not args.retain_tombstones
+                    drop_tombstones=drop,
+                    allow_unordered_drop=args.force_drop_tombstones,
                 )
                 break
             except CommitConflictError:

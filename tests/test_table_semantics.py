@@ -516,3 +516,63 @@ def test_empty_partitioned_result_sink_rereadable(spark, tmp_path):
     out2 = str(tmp_path / "res2")
     assert write_result_table(df, out2, partition_by="status") == 1
     assert spark.read.parquet(out2).count() == 1
+
+
+def test_compact_refuses_explicit_drop_on_unordered_table(spark, tmp_path):
+    """An explicit drop_tombstones=True must not silently override a
+    recorded ordered_commits=False (r5 review: maintain_job's explicit
+    bool bypassed the guarantee and a later lower-LSN delivery would
+    resurrect the delete). The escape hatch is allow_unordered_drop,
+    which also forces the zero-delta MoR base rewrite so base-resident
+    tombstones have an exit."""
+    t = TargetTable(
+        spark, str(tmp_path / "t"), n_buckets=2, mode="mor",
+        ordered_commits=False,
+    )
+    t.init(SCHEMA)
+    t.merge_apply(
+        _batch(spark, [(1, "I", "c1", 0, "a"), (2, "I", "c2", 0, "b")]),
+        {"b": 1},
+    )
+    t.merge_apply(_batch(spark, [(3, "D", "c1", 0, None)]), {"b": 2})
+    t.compact()  # retains the tombstone (recorded unordered)
+    meta = t.metadata()
+    assert meta.get("deltas") == []  # tombstone now lives in the BASE
+    base_rows = spark.read.parquet(
+        os.path.join(t.path, meta["data_dir"])).count()
+    assert base_rows == 2  # live row + retained tombstone
+
+    with pytest.raises(ValueError, match="ordered_commits=False"):
+        t.compact(drop_tombstones=True)
+
+    # source decommissioned → explicit vacuum, zero pending deltas
+    stats = t.compact(drop_tombstones=True, allow_unordered_drop=True)
+    assert stats["row_count"] == 1
+    vac_rows = spark.read.parquet(
+        os.path.join(t.path, t.metadata()["data_dir"])).count()
+    assert vac_rows == 1  # tombstone vacuumed from the base
+    assert t.read().count() == 1
+
+
+def test_stale_writer_cannot_rewind_pointer(spark, tmp_path):
+    """The O_EXCL slot claim can succeed on a version whose metadata
+    expire_snapshots already deleted; the commit must still detect the
+    published pointer is ahead and raise instead of REWINDING it
+    (r5 review: a rewind silently discards every newer commit)."""
+    t = TargetTable(spark, str(tmp_path / "t"), n_buckets=2, mode="mor")
+    t.init(SCHEMA)
+    for i in range(4):
+        t.merge_apply(
+            _batch(spark, [(10 + i, "I", f"c{i}", 0, "x")]), {"b": i}
+        )
+    t.expire_snapshots(keep_last=2)
+    cur = t.current_version()
+    expired = [v for v in range(1, cur - 1)
+               if not os.path.exists(t._meta_path(v))]
+    assert expired, "fixture must have an expired version slot"
+    v = expired[0]
+    with pytest.raises(CommitConflictError, match="stale"):
+        t._commit(version=v, schema=SCHEMA, data_dir="snap-bogus",
+                  offsets={}, row_count=0, parent=v - 1)
+    assert t.current_version() == cur  # pointer untouched
+    assert not os.path.exists(t._meta_path(v))  # claim cleaned up
