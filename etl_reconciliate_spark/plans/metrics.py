@@ -125,6 +125,19 @@ def op_counts(deduped: DataFrame) -> dict:
     return {r["op"]: r["n"] for r in rows}
 
 
+def observed_or(obs, keys: tuple[str, ...], default: int = 0) -> dict:
+    """Read an ``Observation``'s metrics, tolerating the empty-plan
+    failure: on an empty input AQE propagates the empty relation and
+    eliminates the CollectMetrics node, making ``obs.get`` raise — the
+    metrics then ARE the defaults. One implementation of the guard
+    (the replay loop carried two inline copies — r5 review)."""
+    try:
+        got = obs.get
+        return {k: int(got[k] or default) for k in keys}
+    except Exception:
+        return {k: default for k in keys}
+
+
 def observe_count(df: DataFrame):
     """Attach a plain row counter via ``Observation``; evaluated for free
     by whatever action later consumes ``df``."""

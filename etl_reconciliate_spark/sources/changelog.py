@@ -27,9 +27,18 @@ class ChangeLogSource:
 
         self.spark = spark
         self.path = path
+        # NUMERIC epoch order: lexicographic sort puts epoch=10 before
+        # epoch=2, so with double-digit epochs initial_schema() would
+        # return an EVOLVED epoch's schema and the target would be
+        # initialized with columns that are supposed to arrive via
+        # schema evolution (r5 review; latent until >9 epochs exist)
         self._epochs = sorted(
-            d for d in os.listdir(path)
-            if d.startswith("epoch=") and os.path.isdir(os.path.join(path, d))
+            (
+                d for d in os.listdir(path)
+                if d.startswith("epoch=")
+                and os.path.isdir(os.path.join(path, d))
+            ),
+            key=lambda d: int(d.split("=", 1)[1]),
         ) or [""]
 
         self._dfs = {

@@ -48,6 +48,7 @@ from etl_reconciliate_spark.plans.checkpoint import CheckpointManager
 from etl_reconciliate_spark.plans.metrics import (
     observe_count,
     observe_ops,
+    observed_or,
     slice_lineage,
 )
 from etl_reconciliate_spark.schemas import KEY_COLS
@@ -133,12 +134,29 @@ def _replay_loop(
     events = 0
     for lo, hi in slices:
         st = time.monotonic()
+        # LSN-gap fast path (r5 review): real WAL/Debezium LSNs are
+        # sparse byte offsets, so densely-tiled slices routinely cover
+        # pure gaps. The driver-side footer index PROVES such a slice
+        # empty — merging it anyway cost a full-table rewrite per gap
+        # slice in cow mode and an empty delta (counting toward the
+        # compaction threshold → a full base rewrite every Nth gap) in
+        # mor. Skip the merge entirely: zero Spark jobs. The offset is
+        # NOT advanced — the next non-empty slice's commit carries
+        # lsn_hi past the gap, and trailing gaps are re-walked
+        # driver-side (metadata only) on the next run, which is free.
+        overlap = slice_lineage(source.file_index, lo, hi)
+        if not overlap:
+            ckpt.append_manifest(
+                {"slice": [lo, hi], "events": 0, "skipped_empty_gap": True,
+                 "secs": round(time.monotonic() - st, 3)}
+            )
+            continue
         raw = source.read_slice(lo, hi)
         # Per-file lineage comes from the footer index (driver-side
         # metadata, built once at open); the exact event count and the
         # I/U/D counters ride along with the merge's own write action
         # via Observation. Net: exactly ONE Spark job per slice.
-        lineage = slice_lineage(source.file_index, lo, hi) if collect_lineage else []
+        lineage = overlap if collect_lineage else []
         raw, obs_raw = observe_count(raw)
         if dedup_impl == "agg":
             # max_by aggregate: map-side partial combine collapses
@@ -155,21 +173,11 @@ def _replay_loop(
         if collect_lineage:
             deduped, obs = observe_ops(deduped)
         stats = table.merge_apply(deduped, ckpt.offsets_for(hi, lineage))
-        # empty-slice guard (an LSN gap spanning a whole slice — sparse
-        # WAL/Debezium sequences): AQE propagates the empty relation and
-        # eliminates the CollectMetrics nodes, making obs.get raise — the
-        # same failure _observed_live and the stream runner already guard
-        try:
-            n_events = int(obs_raw.get["n"] or 0)
-        except Exception:
-            n_events = 0
-        ops = {}
-        if obs is not None:
-            try:
-                got = obs.get
-                ops = {k: got[k] for k in ("I", "U", "D")}
-            except Exception:
-                ops = {"I": 0, "U": 0, "D": 0}
+        # observed_or tolerates the (now rare — the footer-index gap
+        # skip above catches provable emptiness first) empty-plan case
+        # where AQE eliminated the CollectMetrics nodes
+        n_events = observed_or(obs_raw, ("n",))["n"]
+        ops = observed_or(obs, ("I", "U", "D")) if obs is not None else {}
         events += n_events
         ckpt.append_manifest(
             {
@@ -186,20 +194,20 @@ def _replay_loop(
             table.expire_snapshots(keep_last=expire_keep)
 
     secs = time.monotonic() - t0
+    # the table is unconditionally initialized above, so exists() is
+    # true here; read mode() once (r5 review: three dead exists()
+    # branches, three metadata re-reads)
+    mode = table.mode()
     return {
         "slices": len(slices),
         "events": events,
         "secs": secs,
         "events_per_sec": events / secs if secs > 0 else float("inf"),
         "final_lsn": ckpt.last_committed_lsn(),
-        "target_rows": table.count_live() if table.exists() else 0,
-        "mode": table.mode() if table.exists() else target_mode,
+        "target_rows": table.count_live(),
+        "mode": mode,
         # mode is fixed at init: warn when a pre-existing table silently
         # overrides the requested --target-mode (a cow-vs-mor comparison
         # on a reused path would otherwise measure one mode twice)
-        **(
-            {"requested_mode_ignored": target_mode}
-            if table.exists() and table.mode() != target_mode
-            else {}
-        ),
+        **({"requested_mode_ignored": target_mode} if mode != target_mode else {}),
     }

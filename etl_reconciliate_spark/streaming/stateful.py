@@ -208,12 +208,20 @@ def sessionize_transcripts(
             # Arrow batch size arrives as several chunks, and sorting
             # each independently would run the tool-run state machine
             # out of LSN order across chunk boundaries (r4 review).
-            # Duplicate deliveries of the SAME lsn within the batch
-            # (at-least-once redelivery) are dropped here too — they
-            # would double-count n_events and inflate a tool run.
+            # Duplicate deliveries (at-least-once redelivery) are
+            # dropped here too — they would double-count n_events and
+            # inflate a tool run: same-lsn duplicates WITHIN the batch
+            # via duplicated(), and CROSS-batch duplicates via the
+            # state's max_lsn (r5 review: a redelivery landing in a
+            # later micro-batch sailed past the per-batch check). The
+            # lsn <= max_lsn drop also discards a genuinely-new but
+            # out-of-LSN-order late event — the same newer-LSN-wins
+            # contract the merge path applies; the sequential tool-run
+            # machine needs LSN-ordered progress to mean anything.
             batch = pd.concat(chunks, ignore_index=True)
             batch = batch.sort_values("lsn", kind="stable")
             batch = batch[~batch["lsn"].duplicated(keep="first")]
+            batch = batch[batch["lsn"] > max_lsn]
         else:
             batch = None
         if batch is not None:

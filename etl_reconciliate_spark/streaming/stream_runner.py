@@ -67,12 +67,38 @@ def replay_stream(
     default, when that matters). Rows with a NULL ts (e.g. Debezium
     delete envelopes without ts_ms) BYPASS the dedup stage instead of
     being silently swallowed by the watermark operator."""
+    prior_shuffle = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    n_partitions = n_partitions or int(prior_shuffle)
+    # pin the session shuffle width so --partitions governs the merge
+    # join and the mor read-time window too, not only the explicit
+    # repartition (r5 review — same pin/restore replay() has); restored
+    # on exit for embedding sessions
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
+    try:
+        return _replay_stream_impl(
+            spark, changelog_path, target_path, checkpoint_dir,
+            n_partitions, max_files_per_trigger, target_mode,
+            compact_threshold, dedup_within_watermark, changelog_format,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_shuffle)
+
+
+def _replay_stream_impl(
+    spark: SparkSession,
+    changelog_path: str,
+    target_path: str,
+    checkpoint_dir: str,
+    n_partitions: int,
+    max_files_per_trigger: int | None,
+    target_mode: str,
+    compact_threshold: int,
+    dedup_within_watermark: str | None,
+    changelog_format: str,
+) -> dict:
     from pyspark.sql import Observation, functions as F
     from pyspark.sql import types as T
 
-    n_partitions = n_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
     # ordered_commits=False: the file source discovers files in mtime
     # order, NOT LSN order, so a lower-LSN event for a deleted key can
     # arrive after a compaction — compaction must therefore RETAIN
@@ -113,14 +139,23 @@ def replay_stream(
     else:
         raise ValueError(f"unknown changelog_format: {changelog_format!r}")
     if dedup_within_watermark:
-        # null-ts rows (tombstone envelopes) would be dropped by the
-        # watermark operator — route them around the dedup stage
-        with_ts = (
-            stream.filter(F.col("ts").isNotNull())
-            .withWatermark("ts", dedup_within_watermark)
+        # NULL-ts rows (tombstone envelopes without ts_ms) go through
+        # the SAME dedup stage, watermarked on coalesce(ts,
+        # current_timestamp()): the batch timestamp is never behind the
+        # watermark, so tombstones are deduped by lsn like every other
+        # row instead of being swallowed as late data. The previous
+        # design unioned a second filter branch AROUND the stage, which
+        # made every micro-batch scan the entire discovered file set
+        # TWICE — a streaming self-union reads the source once per
+        # branch (r5 review), the exact cost this stage exists to cut.
+        stream = (
+            stream.withColumn(
+                "_ts_w", F.coalesce(F.col("ts"), F.current_timestamp())
+            )
+            .withWatermark("_ts_w", dedup_within_watermark)
             .dropDuplicatesWithinWatermark(["lsn"])
+            .drop("_ts_w")
         )
-        stream = with_ts.unionByName(stream.filter(F.col("ts").isNull()))
 
     batches: list[dict] = []
 

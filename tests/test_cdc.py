@@ -191,3 +191,39 @@ def test_replay_with_empty_slices(spark, tmp_path):
         got[["conv_id", "turn_idx", "text"]],
         want[["conv_id", "turn_idx", "text"]].reset_index(drop=True),
     )
+
+
+def test_sparse_lsn_gap_slices_are_skipped(spark, tmp_path):
+    """Real WAL/Debezium LSNs are sparse byte offsets: densely-tiled
+    slices routinely cover pure gaps, and merging a provably-empty
+    slice cost a full-table rewrite (cow) / an empty delta counting
+    toward compaction (mor) per gap. The footer index proves emptiness
+    driver-side — those slices must be skipped with zero commits."""
+    import datetime
+
+    rows = []
+    for i in range(10):  # lsns 0..9, then a gap, then 5000..5009
+        rows.append((i, "I", f"a{i}", 0, "user", "x", None,
+                     datetime.datetime(2026, 1, 1)))
+        rows.append((5000 + i, "I", f"b{i}", 0, "user", "y", None,
+                     datetime.datetime(2026, 1, 1)))
+    log = str(tmp_path / "log")
+    spark.createDataFrame(
+        sorted(rows), CHANGELOG_SCHEMA
+    ).repartitionByRange(2, "lsn").write.parquet(log)
+
+    tgt = str(tmp_path / "tbl")
+    stats = replay(spark, log, tgt, slice_size=100)
+    assert stats["events"] == 20
+    t = TargetTable(spark, tgt)
+    assert t.read().count() == 20
+    # the gap slices committed NOTHING: versions advanced only for the
+    # two non-empty slices (plus init)
+    assert t.current_version() <= 3
+    from etl_reconciliate_spark.plans.checkpoint import CheckpointManager
+
+    manifest = CheckpointManager(t).manifest()
+    skipped = [m for m in manifest if m.get("skipped_empty_gap")]
+    applied = [m for m in manifest if not m.get("skipped_empty_gap")]
+    assert len(skipped) >= 40  # ~49 of ~51 tiled slices are pure gap
+    assert len(applied) == 2

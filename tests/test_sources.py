@@ -150,3 +150,31 @@ def test_empty_slice_plans_one_epoch_scan(spark, tmp_path):
     import re
     n_scans = len(re.findall(r"Scan parquet|FileScan", plan))
     assert n_scans == 1, f"expected 1 epoch scan, plan has {n_scans}"
+
+
+def test_epoch_dirs_numeric_order(spark, tmp_path):
+    """With 10+ epoch dirs, lexicographic sort puts epoch=10 before
+    epoch=2 — initial_schema() would then return an EVOLVED epoch's
+    schema and the empty-slice fallback would plan the wrong epoch
+    (r5 review). Epochs must order numerically."""
+    import datetime
+
+    from etl_reconciliate_spark.schemas import CHANGELOG_SCHEMA
+    from etl_reconciliate_spark.sources.changelog import ChangeLogSource
+
+    p = str(tmp_path / "log")
+    ts = datetime.datetime(2026, 1, 1)
+    for i in range(12):
+        spark.createDataFrame(
+            [(i * 10 + j, "I", f"c{i}", j, "user", "x", None, ts)
+             for j in range(10)],
+            CHANGELOG_SCHEMA,
+        ).coalesce(1).write.parquet(f"{p}/epoch={i}")
+    src = ChangeLogSource(spark, p)
+    nums = [int(e.split("=", 1)[1]) for e in src._epochs]
+    assert len(nums) == 12
+    assert nums == sorted(nums)
+    assert src._epochs[0] == "epoch=0"
+    # the empty-slice fallback must plan the NUMERICALLY earliest epoch
+    sl = src.read_slice(10_000_000, 10_000_100)
+    assert sl.count() == 0 and "lsn" in sl.columns

@@ -201,3 +201,46 @@ def test_stream_debezium_jsonl_format(spark, tmp_path):
     assert [(r["conv_id"], r["turn_idx"], r["text"]) for r in got] == [
         ("c1", 0, "v2")
     ]
+
+
+def test_stream_dedup_null_ts_tombstone_not_swallowed(spark, tmp_path):
+    """With dedup_within_watermark ON, a NULL-ts delete envelope must
+    still reach the merge (watermarked on the batch timestamp, r5 —
+    the old bypass union scanned the whole source twice per trigger),
+    and a REDELIVERED tombstone lsn dedups like any other row."""
+    import datetime
+    import os
+    import time
+
+    from etl_reconciliate_spark.schemas import CHANGELOG_SCHEMA
+
+    log = str(tmp_path / "log")
+    base = datetime.datetime(2026, 1, 1)
+
+    def write(name, rows, mtime):
+        d = f"{log}/{name}"
+        spark.createDataFrame(rows, CHANGELOG_SCHEMA).coalesce(1).write.parquet(d)
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+        os.utime(d, (mtime, mtime))
+
+    t0 = time.time() - 1000
+    write("a", [
+        (1, "I", "c1", 0, "user", "v1", None, base),
+        (2, "I", "c2", 0, "user", "v2", None, base),
+    ], t0)
+    # null-ts tombstone (Debezium delete without ts_ms) + its redelivery
+    write("b", [(3, "D", "c1", 0, None, None, None, None)], t0 + 100)
+    write("c", [(3, "D", "c1", 0, None, None, None, None)], t0 + 200)
+
+    stats = replay_stream(
+        spark, log, str(tmp_path / "tbl"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, dedup_within_watermark="1 hour",
+    )
+    assert stats["input_rows"] == 3  # redelivered tombstone deduped
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in TargetTable(spark, str(tmp_path / "tbl")).read().collect()
+    }
+    assert got == {("c2", 0): "v2"}  # the delete was applied

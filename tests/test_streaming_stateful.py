@@ -371,3 +371,48 @@ def test_stream_sessionize_multichunk_and_duplicates(spark, tmp_path):
         assert a.max_lsn == 15
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_stream_sessionize_cross_batch_duplicate_dropped(spark, tmp_path):
+    """An at-least-once redelivery landing in a LATER micro-batch must
+    not re-count: the state's max_lsn gates every batch (r5 review —
+    the per-batch duplicated() check alone missed this, inflating
+    n_events and potentially max_tool_run)."""
+    d = str(tmp_path / "log")
+    spark.createDataFrame(
+        [
+            (10, "I", "A", 0, "user", "q", None, _mins(0)),
+            (11, "I", "A", 1, "tool", "a", "t", _mins(1)),
+            (12, "I", "A", 2, "tool", "b", "t", _mins(2)),
+        ],
+        CHANGELOG_SCHEMA,
+    ).coalesce(1).write.parquet(f"{d}/f1")
+    # batch 2 REDELIVERS lsn 12 (tool) — without the max_lsn gate the
+    # run counter would extend the tool run to 3 and n_events to 4
+    spark.createDataFrame(
+        [(12, "I", "A", 2, "tool", "b", "t", _mins(2))], CHANGELOG_SCHEMA
+    ).coalesce(1).write.parquet(f"{d}/f2")
+    spark.createDataFrame(
+        [(99, "I", "B", 0, "user", "later", None, _mins(900))],
+        CHANGELOG_SCHEMA,
+    ).coalesce(1).write.parquet(f"{d}/f3")
+    import os, time
+    t = time.time()
+    os.utime(f"{d}/f1", (t - 300, t - 300))
+    os.utime(f"{d}/f2", (t - 200, t - 200))
+    os.utime(f"{d}/f3", (t - 100, t - 100))
+    stream = (
+        spark.readStream.schema(CHANGELOG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    out = sessionize_transcripts(stream, gap_seconds=1800,
+                                 watermark_delay="30 minutes")
+    _drain(out, "sess_xbatch")
+    got = {r.conv_id: r for r in spark.sql(
+        "select * from sess_xbatch").collect()}
+    a = got["A"]
+    assert a.n_events == 3          # redelivered lsn 12 counted once
+    assert a.max_tool_run == 2      # run is 11,12 — not extended by the dup
+    assert a.max_lsn == 12
