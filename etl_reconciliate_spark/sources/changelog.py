@@ -31,14 +31,25 @@ class ChangeLogSource:
         # epoch=2, so with double-digit epochs initial_schema() would
         # return an EVOLVED epoch's schema and the target would be
         # initialized with columns that are supposed to arrive via
-        # schema evolution (r5 review; latent until >9 epochs exist)
+        # schema evolution (r5 review; latent until >9 epochs exist).
+        # Non-integer suffixes (epoch=__HIVE_DEFAULT_PARTITION__ from a
+        # NULL epoch, date-valued epochs) must not crash the open —
+        # they sort lexicographically AFTER the numeric epochs, which
+        # preserves the old lexicographic tolerance (r5 final review).
+        def _epoch_key(d: str):
+            suffix = d.split("=", 1)[1]
+            try:
+                return (0, int(suffix), "")
+            except ValueError:
+                return (1, 0, suffix)
+
         self._epochs = sorted(
             (
                 d for d in os.listdir(path)
                 if d.startswith("epoch=")
                 and os.path.isdir(os.path.join(path, d))
             ),
-            key=lambda d: int(d.split("=", 1)[1]),
+            key=_epoch_key,
         ) or [""]
 
         self._dfs = {

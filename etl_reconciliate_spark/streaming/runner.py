@@ -132,6 +132,7 @@ def _replay_loop(
 
     t0 = time.monotonic()
     events = 0
+    trailing_gap_hi = -1
     for lo, hi in slices:
         st = time.monotonic()
         # LSN-gap fast path (r5 review): real WAL/Debezium LSNs are
@@ -141,16 +142,20 @@ def _replay_loop(
         # slice in cow mode and an empty delta (counting toward the
         # compaction threshold → a full base rewrite every Nth gap) in
         # mor. Skip the merge entirely: zero Spark jobs. The offset is
-        # NOT advanced — the next non-empty slice's commit carries
-        # lsn_hi past the gap, and trailing gaps are re-walked
-        # driver-side (metadata only) on the next run, which is free.
+        # NOT advanced per gap — the next non-empty slice's commit
+        # carries lsn_hi past the gap; a TRAILING run of gaps gets ONE
+        # offsets-only commit after the loop (r5 final review: with
+        # max_slices set, a gap wider than the slice budget would
+        # otherwise re-plan the same gap slices forever — livelock).
         overlap = slice_lineage(source.file_index, lo, hi)
         if not overlap:
+            trailing_gap_hi = max(trailing_gap_hi, hi)
             ckpt.append_manifest(
                 {"slice": [lo, hi], "events": 0, "skipped_empty_gap": True,
                  "secs": round(time.monotonic() - st, 3)}
             )
             continue
+        trailing_gap_hi = -1
         raw = source.read_slice(lo, hi)
         # Per-file lineage comes from the footer index (driver-side
         # metadata, built once at open); the exact event count and the
@@ -192,6 +197,18 @@ def _replay_loop(
         )
         if expire_keep:
             table.expire_snapshots(keep_last=expire_keep)
+
+    if trailing_gap_hi > ckpt.last_committed_lsn():
+        # the run ENDED on skipped gap slices (only possible when
+        # max_slices truncated the plan — an untruncated plan always
+        # ends at an actual event's lsn): persist the high-water mark
+        # with one metadata-only commit so the next bounded run plans
+        # PAST the gap instead of re-walking it forever
+        stats = table.commit_offsets(ckpt.offsets_for(trailing_gap_hi, []))
+        ckpt.append_manifest(
+            {"offsets_only": True, "lsn_hi": trailing_gap_hi,
+             "snapshot": stats["version"]}
+        )
 
     secs = time.monotonic() - t0
     # the table is unconditionally initialized above, so exists() is

@@ -65,8 +65,11 @@ def replay_stream(
     lateness is bounded by the chosen delay (the mtime-ordered file
     source makes unbounded lateness possible — leave it OFF, the
     default, when that matters). Rows with a NULL ts (e.g. Debezium
-    delete envelopes without ts_ms) BYPASS the dedup stage instead of
-    being silently swallowed by the watermark operator."""
+    delete envelopes without ts_ms) BYPASS the dedup stage: they would
+    otherwise be swallowed by the watermark operator, and imputing a
+    timestamp to push them through it either contaminates the
+    watermark (wall-clock) or goes late itself (a constant) — see the
+    inline note at the dedup stage."""
     prior_shuffle = spark.conf.get("spark.sql.shuffle.partitions", "32")
     n_partitions = n_partitions or int(prior_shuffle)
     # pin the session shuffle width so --partitions governs the merge
@@ -139,23 +142,26 @@ def _replay_stream_impl(
     else:
         raise ValueError(f"unknown changelog_format: {changelog_format!r}")
     if dedup_within_watermark:
-        # NULL-ts rows (tombstone envelopes without ts_ms) go through
-        # the SAME dedup stage, watermarked on coalesce(ts,
-        # current_timestamp()): the batch timestamp is never behind the
-        # watermark, so tombstones are deduped by lsn like every other
-        # row instead of being swallowed as late data. The previous
-        # design unioned a second filter branch AROUND the stage, which
-        # made every micro-batch scan the entire discovered file set
-        # TWICE — a streaming self-union reads the source once per
-        # branch (r5 review), the exact cost this stage exists to cut.
-        stream = (
-            stream.withColumn(
-                "_ts_w", F.coalesce(F.col("ts"), F.current_timestamp())
-            )
-            .withWatermark("_ts_w", dedup_within_watermark)
+        # NULL-ts rows (tombstone envelopes without ts_ms) are routed
+        # AROUND the watermarked dedup stage. This is the only correct
+        # shape: any non-null imputation either contaminates the
+        # watermark (coalesce(ts, current_timestamp()) jumps it to
+        # wall-clock now, after which a historical-backlog replay drops
+        # EVERY remaining event as late — near-total silent loss) or is
+        # itself eventually late (a constant epoch falls behind the
+        # watermark after the first real event) — r5 final review. The
+        # union does read the source once per branch; the null branch's
+        # `ts IS NULL` predicate reaches the parquet scan, so row groups
+        # with null_count=0 (the overwhelming majority — tombstones are
+        # rare) are pruned via footer stats and the second scan costs
+        # ~zero I/O. Merge idempotence covers the un-deduped null-ts
+        # rows downstream.
+        with_ts = (
+            stream.filter(F.col("ts").isNotNull())
+            .withWatermark("ts", dedup_within_watermark)
             .dropDuplicatesWithinWatermark(["lsn"])
-            .drop("_ts_w")
         )
+        stream = with_ts.unionByName(stream.filter(F.col("ts").isNull()))
 
     batches: list[dict] = []
 

@@ -619,6 +619,43 @@ class TargetTable:
                 if attempt == retries:
                     raise
 
+    def commit_offsets(self, offsets: dict, retries: int = 2) -> dict:
+        """Advance the committed offsets WITHOUT touching data: a
+        metadata-only snapshot reusing the current data/delta dirs.
+
+        The replay loop uses this to persist the high-water mark over a
+        TRAILING run of provably-empty gap slices (r5 final review:
+        with ``max_slices`` set, an LSN gap wider than the slice budget
+        would otherwise re-plan the same gap slices on every invocation
+        — zero progress, a livelock). Retries like :meth:`merge_apply`:
+        each attempt re-reads fresh metadata, so a racing writer's
+        commit is simply re-based on."""
+        for attempt in range(retries + 1):
+            meta = self.metadata()
+            # never REWIND the high-water mark: a racing writer (or the
+            # rebase after its conflict) may already have committed a
+            # newer lsn_hi — advancing offsets is monotone
+            cur_hi = int(meta.get("offsets", {}).get("lsn_hi", -1))
+            if int(offsets.get("lsn_hi", -1)) <= cur_hi:
+                return {"version": meta["version"],
+                        "row_count": meta.get("row_count"), "noop": True}
+            try:
+                self._commit(
+                    meta["version"] + 1,
+                    T.StructType.fromJson(meta["schema"]),
+                    meta["data_dir"],
+                    offsets,
+                    row_count=meta.get("row_count"),
+                    parent=meta["version"],
+                    mode=meta.get("mode", "cow"),
+                    deltas=meta.get("deltas", []),
+                )
+                return {"version": meta["version"] + 1,
+                        "row_count": meta.get("row_count")}
+            except CommitConflictError:
+                if attempt == retries:
+                    raise
+
     def _merge_apply_once(self, batch: DataFrame, offsets: dict) -> dict:
         """MERGE a deduplicated change batch into the table.
 
@@ -990,18 +1027,34 @@ class TargetTable:
         tmp = f"{mp}.{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f, indent=1, sort_keys=True)
+        # Re-check BEFORE replacing the metadata file: a writer that
+        # stalled past claim_grace_secs may have had its slot taken over
+        # AND fully published by another writer — replacing that
+        # winner's v{version}.json with ours would silently drop its
+        # acknowledged deltas even though we then lose the pointer race
+        # (r5 final review; the post-replace `>` check missed the
+        # exactly-equal case and clobbered the winner).
+        if self.exists() and self.current_version() >= version:
+            os.remove(tmp)
+            raise CommitConflictError(
+                f"version {version} of {self.path} was published by a "
+                f"takeover writer while this commit was stalled; re-read "
+                f"metadata and retry"
+            )
         os.replace(tmp, mp)
         ptmp = f"{self._pointer}.{uuid.uuid4().hex[:8]}.tmp"
         with open(ptmp, "w") as f:
             f.write(str(version))
-        # never move the pointer BACKWARD: a racing writer may have
-        # published a newer version between our claim and here (e.g.
-        # both sides of a stale-claim takeover proceeding). The real
-        # backend (an Iceberg catalog) makes this a true CAS; the
-        # emulation narrows the check-to-replace window to microseconds
-        # and the claim protocol above makes a loser here unreachable
-        # in practice.
-        if self.exists() and self.current_version() > version:
+        # never move the pointer BACKWARD or sideways: a racing writer
+        # may have published `version` itself or a newer one between our
+        # claim and here (both sides of a stale-claim takeover
+        # proceeding) — `>=`, not `>`: current == version means the
+        # takeover writer won and our swap would re-point to OUR
+        # metadata, dropping its committed deltas. The real backend (an
+        # Iceberg catalog) makes this a true CAS; the emulation narrows
+        # the check-to-replace window to microseconds and the claim
+        # protocol above makes a loser here unreachable in practice.
+        if self.exists() and self.current_version() >= version:
             os.remove(ptmp)
             raise CommitConflictError(
                 f"version {version} of {self.path} was overtaken by a newer "
@@ -1041,27 +1094,44 @@ class TargetTable:
         in-flight merge — deleting it would corrupt that commit."""
         if orphan_grace_secs is None:
             orphan_grace_secs = self.orphan_grace_secs
-        vs = self.versions()
-        cur = self.current_version()
-        drop = [v for v in vs[:-keep_last] if v != cur]
-        keep = [v for v in vs if v not in drop]
         # a CONCURRENT expirer (replay loop expires per slice while a
-        # cron maintain_job --expire-keep runs) may remove any of these
-        # files between our listing and our access — losing the race is
-        # fine, crashing the replay run mid-backlog is not (r5 review)
-        referenced = set()
-        for v in keep:
-            try:
-                m = self.metadata(v)
-            except FileNotFoundError:
-                continue  # the other expirer dropped it → unreferenced
-            referenced.add(m["data_dir"])
-            referenced.update(m.get("deltas", []))
+        # cron maintain_job --expire-keep runs) may remove version
+        # metadata between our listing and our access — losing the race
+        # is fine, crashing the replay run mid-backlog is not (r5
+        # review). But a KEPT version whose metadata vanished must NOT
+        # be treated as "references nothing": its dirs may be the live
+        # MoR base shared by newer snapshots, and sweeping them would
+        # delete live table data (r5 final review). Re-list and retry
+        # until one pass reads every kept snapshot consistently; if
+        # that never happens, drop only our planned metadata and SKIP
+        # the orphan sweep — the next expire picks the garbage up.
+        referenced: set | None = None
+        drop: list = []
+        for _attempt in range(5):
+            vs = self.versions()
+            cur = self.current_version()
+            drop = [v for v in vs[:-keep_last] if v != cur]
+            keep = [v for v in vs if v not in drop]
+            refs = set()
+            consistent = True
+            for v in keep:
+                try:
+                    m = self.metadata(v)
+                except FileNotFoundError:
+                    consistent = False  # racing expirer → re-list
+                    break
+                refs.add(m["data_dir"])
+                refs.update(m.get("deltas", []))
+            if consistent:
+                referenced = refs
+                break
         for v in drop:
             try:
                 os.remove(self._meta_path(v))
             except FileNotFoundError:
                 pass
+        if referenced is None:
+            return
         now = time.time()
         for name in os.listdir(self.path):
             if (

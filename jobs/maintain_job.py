@@ -6,11 +6,15 @@ this job is the scheduled maintenance that keeps that trade healthy
 expire_snapshots procedures):
 
 * ``--compact``: fold all pending deltas into a new base snapshot.
-  Tombstones are dropped by default (safe under in-LSN-order commits,
-  see target/table.py) — pass ``--retain-tombstones`` for tables fed by
-  the out-of-order Structured Streaming runner. A compaction losing the
-  optimistic-concurrency race against an in-flight merge retries from
-  fresh metadata (``--retries``);
+  Tombstone handling follows the table's RECORDED ordering guarantee:
+  dropped on LSN-ordered tables (safe, see target/table.py), retained
+  automatically on tables fed by the out-of-order Structured Streaming
+  runner — no flag needed. ``--retain-tombstones`` forces retention
+  everywhere; ``--force-drop-tombstones`` overrides the guard on
+  unordered tables (resurrection risk — only after verifying no lower
+  LSN can still arrive). A compaction losing the optimistic-concurrency
+  race against an in-flight merge retries from fresh metadata
+  (``--retries``);
 * ``--expire-keep N``: reference-counted snapshot expiry, keeping the
   newest N versions; unreferenced dirs younger than the orphan grace
   period are left alone (they may be a concurrent writer's staged,

@@ -227,3 +227,43 @@ def test_sparse_lsn_gap_slices_are_skipped(spark, tmp_path):
     applied = [m for m in manifest if not m.get("skipped_empty_gap")]
     assert len(skipped) >= 40  # ~49 of ~51 tiled slices are pure gap
     assert len(applied) == 2
+
+
+def test_bounded_replay_advances_past_wide_gap(spark, tmp_path):
+    """r5 final review: with max_slices set, an LSN gap wider than the
+    slice budget made every bounded run re-plan the same provably-empty
+    gap slices forever (gap skips never committed an offset — livelock
+    for an orchestrator invoking bounded runs until caught up). A
+    trailing run of gap slices now persists the high-water mark with
+    ONE offsets-only commit, so each run makes guaranteed progress."""
+    import datetime
+
+    rows = []
+    for i in range(5):  # island A: lsns 0..4; island B: lsns 2000..2004
+        rows.append((i, "I", f"a{i}", 0, "user", "x", None,
+                     datetime.datetime(2026, 1, 1)))
+        rows.append((2000 + i, "I", f"b{i}", 0, "user", "y", None,
+                     datetime.datetime(2026, 1, 1)))
+    log = str(tmp_path / "log")
+    spark.createDataFrame(
+        sorted(rows), CHANGELOG_SCHEMA
+    ).repartitionByRange(2, "lsn").write.parquet(log)
+
+    tgt = str(tmp_path / "tbl")
+    events = 0
+    lsn_marks = []
+    for _run in range(30):
+        stats = replay(spark, log, tgt, slice_size=100, max_slices=3)
+        events += stats["events"]
+        # guaranteed progress: the committed high-water mark advances
+        # on EVERY bounded run until the log is drained
+        assert not lsn_marks or stats["final_lsn"] > lsn_marks[-1] or (
+            stats["final_lsn"] == lsn_marks[-1] == 2004
+        )
+        lsn_marks.append(stats["final_lsn"])
+        if stats["final_lsn"] >= 2004:
+            break
+    assert events == 10
+    assert lsn_marks[-1] == 2004
+    t = TargetTable(spark, tgt)
+    assert t.read().count() == 10

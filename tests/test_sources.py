@@ -178,3 +178,35 @@ def test_epoch_dirs_numeric_order(spark, tmp_path):
     # the empty-slice fallback must plan the NUMERICALLY earliest epoch
     sl = src.read_slice(10_000_000, 10_000_100)
     assert sl.count() == 0 and "lsn" in sl.columns
+
+
+def test_epoch_dir_non_integer_suffix_tolerated(spark, tmp_path):
+    """A non-integer epoch dir (epoch=__HIVE_DEFAULT_PARTITION__ from a
+    NULL partition value, or a date-valued epoch) must not crash the
+    source open (r5 final review: the numeric sort key raised
+    ValueError at __init__). Non-numeric epochs sort AFTER the numeric
+    ones, so initial_schema() still sees the earliest real epoch."""
+    import datetime
+
+    from etl_reconciliate_spark.schemas import CHANGELOG_SCHEMA
+    from etl_reconciliate_spark.sources.changelog import ChangeLogSource
+
+    p = str(tmp_path / "log")
+    ts = datetime.datetime(2026, 1, 1)
+    for i in range(3):
+        spark.createDataFrame(
+            [(i * 10 + j, "I", f"c{i}", j, "user", "x", None, ts)
+             for j in range(5)],
+            CHANGELOG_SCHEMA,
+        ).coalesce(1).write.parquet(f"{p}/epoch={i}")
+    # rows whose epoch partition value was NULL
+    spark.createDataFrame(
+        [(100, "I", "cz", 0, "user", "z", None, ts)], CHANGELOG_SCHEMA
+    ).coalesce(1).write.parquet(f"{p}/epoch=__HIVE_DEFAULT_PARTITION__")
+
+    src = ChangeLogSource(spark, p)
+    assert src._epochs[0] == "epoch=0"
+    assert src._epochs[-1] == "epoch=__HIVE_DEFAULT_PARTITION__"
+    # the stray epoch's events are still visible to slice reads
+    assert src.read_slice(99, 101).count() == 1
+    assert src.max_lsn() == 100

@@ -205,9 +205,11 @@ def test_stream_debezium_jsonl_format(spark, tmp_path):
 
 def test_stream_dedup_null_ts_tombstone_not_swallowed(spark, tmp_path):
     """With dedup_within_watermark ON, a NULL-ts delete envelope must
-    still reach the merge (watermarked on the batch timestamp, r5 —
-    the old bypass union scanned the whole source twice per trigger),
-    and a REDELIVERED tombstone lsn dedups like any other row."""
+    still reach the merge. It BYPASSES the watermarked dedup stage
+    (r5 final review: imputing a timestamp contaminates the watermark —
+    see test_stream_null_ts_does_not_contaminate_watermark), so a
+    REDELIVERED tombstone is NOT deduped in-stream; merge idempotence
+    absorbs it and the final state is identical."""
     import datetime
     import os
     import time
@@ -238,9 +240,59 @@ def test_stream_dedup_null_ts_tombstone_not_swallowed(spark, tmp_path):
         spark, log, str(tmp_path / "tbl"), str(tmp_path / "ckpt"),
         max_files_per_trigger=1, dedup_within_watermark="1 hour",
     )
-    assert stats["input_rows"] == 3  # redelivered tombstone deduped
+    # the redelivered tombstone bypasses the dedup stage (4 inputs, not
+    # 3) — the merge is what absorbs it
+    assert stats["input_rows"] == 4
     got = {
         (r["conv_id"], r["turn_idx"]): r["text"]
         for r in TargetTable(spark, str(tmp_path / "tbl")).read().collect()
     }
     assert got == {("c2", 0): "v2"}  # the delete was applied
+
+
+def test_stream_null_ts_does_not_contaminate_watermark(spark, tmp_path):
+    """Regression (r5 final review): a NULL-ts tombstone arriving FIRST
+    in a historical-backlog replay must not advance the watermark to
+    wall-clock now — with coalesce(ts, current_timestamp()) feeding the
+    watermark, every later micro-batch of months-old events would be
+    discarded as late (near-total silent loss). The bypass union keeps
+    null-ts rows out of the watermark entirely."""
+    import datetime
+    import os
+    import time
+
+    from etl_reconciliate_spark.schemas import CHANGELOG_SCHEMA
+
+    log = str(tmp_path / "log")
+    base = datetime.datetime(2026, 1, 1)  # months behind wall clock
+
+    def write(name, rows, mtime):
+        d = f"{log}/{name}"
+        spark.createDataFrame(rows, CHANGELOG_SCHEMA).coalesce(1).write.parquet(d)
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+        os.utime(d, (mtime, mtime))
+
+    t0 = time.time() - 1000
+    # the tombstone is DISCOVERED first (earliest mtime)
+    write("a", [(1, "D", "c9", 0, None, None, None, None)], t0)
+    write("b", [
+        (2, "I", "c1", 0, "user", "v1", None, base),
+        (3, "I", "c2", 0, "user", "v2", None, base),
+    ], t0 + 100)
+    write("c", [
+        (4, "I", "c3", 0, "user", "v3", None,
+         base + datetime.timedelta(minutes=1)),
+    ], t0 + 200)
+
+    stats = replay_stream(
+        spark, log, str(tmp_path / "tbl"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, dedup_within_watermark="1 hour",
+    )
+    assert stats["input_rows"] == 4  # nothing dropped as late
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in TargetTable(spark, str(tmp_path / "tbl")).read().collect()
+    }
+    assert got == {("c1", 0): "v1", ("c2", 0): "v2", ("c3", 0): "v3"}

@@ -576,3 +576,97 @@ def test_stale_writer_cannot_rewind_pointer(spark, tmp_path):
                   offsets={}, row_count=0, parent=v - 1)
     assert t.current_version() == cur  # pointer untouched
     assert not os.path.exists(t._meta_path(v))  # claim cleaned up
+
+
+def test_expire_skips_sweep_when_kept_metadata_unreadable(spark, tmp_path, monkeypatch):
+    """r5 final review: a KEPT version whose metadata a concurrent
+    expirer removed must NOT be treated as 'references nothing' — the
+    old `continue` let the orphan sweep delete the still-live shared
+    MoR base/delta dirs. When no consistent read of the kept snapshots
+    is possible, the sweep is skipped entirely."""
+    t = TargetTable(spark, str(tmp_path / "t"), n_buckets=2, mode="mor")
+    t.init(SCHEMA)
+    for i in range(4):
+        t.merge_apply(
+            _batch(spark, [(10 + i, "I", f"c{i}", 0, "x")]), {"lsn_hi": 10 + i}
+        )
+    cur = t.current_version()
+    live_dirs = [
+        n for n in os.listdir(t.path)
+        if n.startswith(("snap-", "delta-"))
+    ]
+    # backdate every data dir: nothing is orphan-grace-protected
+    for n in live_dirs:
+        os.utime(os.path.join(t.path, n), (1, 1))
+
+    real = TargetTable.metadata
+    kept = {cur, cur - 1}
+
+    def flaky(self, version=None):
+        if version in kept:
+            raise FileNotFoundError("simulated concurrent expirer")
+        return real(self, version)
+
+    monkeypatch.setattr(TargetTable, "metadata", flaky)
+    t.expire_snapshots(keep_last=2, orphan_grace_secs=0)
+    monkeypatch.undo()
+
+    # the live base + retained deltas survived; the table still reads
+    meta = t.metadata()
+    assert os.path.isdir(os.path.join(t.path, meta["data_dir"]))
+    for d in meta.get("deltas", []):
+        assert os.path.isdir(os.path.join(t.path, d))
+    assert t.read().count() == 4
+
+
+def test_takeover_publish_not_clobbered_by_stalled_writer(spark, tmp_path, monkeypatch):
+    """r5 final review: writer A stalls after claiming version v; B
+    legitimately takes the stale slot over and PUBLISHES v. When A
+    resumes it must conflict (current == v → `>=`, not `>`) instead of
+    replacing B's metadata and pointer — that silently dropped B's
+    acknowledged commit. A's merge then retries onto v+1, so BOTH rows
+    must be present at the end."""
+    import json as json_mod
+
+    t = TargetTable(spark, str(tmp_path / "t"), n_buckets=2, mode="mor")
+    t.init(SCHEMA)
+    t.merge_apply(_batch(spark, [(1, "I", "c0", 0, "base")]), {"lsn_hi": 1})
+    contested = t.current_version() + 1
+
+    state = {"fired": False}
+    real_dump = json_mod.dump
+
+    def hook(obj, fh, **kw):
+        # fire once, on A's metadata write for the contested slot
+        if (
+            not state["fired"]
+            and isinstance(obj, dict)
+            and obj.get("version") == contested
+        ):
+            state["fired"] = True
+            # A "stalls": its claim goes stale...
+            mp = t._meta_path(contested)
+            os.utime(mp, (time.time() - 3600, time.time() - 3600))
+            # ...and writer B takes the slot over and fully publishes it
+            b = TargetTable(spark, t.path, n_buckets=2)
+            b.merge_apply(
+                _batch(spark, [(99, "I", "cB", 0, "winner")]),
+                {"lsn_hi": 99},
+            )
+            assert b.current_version() == contested
+        return real_dump(obj, fh, **kw)
+
+    monkeypatch.setattr(
+        "etl_reconciliate_spark.target.table.json.dump", hook
+    )
+    stats = t.merge_apply(
+        _batch(spark, [(2, "I", "cA", 0, "stalled")]), {"lsn_hi": 2}
+    )
+    monkeypatch.undo()
+
+    # A retried past the conflict onto the next slot
+    assert stats["version"] == contested + 1
+    # B's commit is intact: its metadata still owns the contested slot
+    assert int(t.metadata(contested)["offsets"]["lsn_hi"]) == 99
+    texts = {r["conv_id"]: r["text"] for r in t.read().collect()}
+    assert texts == {"c0": "base", "cB": "winner", "cA": "stalled"}
