@@ -209,6 +209,13 @@ def _replay_loop(
             {"offsets_only": True, "lsn_hi": trailing_gap_hi,
              "snapshot": stats["version"]}
         )
+        if expire_keep:
+            # gap-only bounded runs otherwise add one offsets-only
+            # snapshot each and never expire (the per-slice expiry above
+            # lives in the applied-slice branch) — draining a wide LSN
+            # gap would accumulate metadata versions past the keep bound
+            # until the next data-bearing slice (r5 final review)
+            table.expire_snapshots(keep_last=expire_keep)
 
     secs = time.monotonic() - t0
     # the table is unconditionally initialized above, so exists() is

@@ -150,12 +150,19 @@ def _replay_stream_impl(
         # EVERY remaining event as late — near-total silent loss) or is
         # itself eventually late (a constant epoch falls behind the
         # watermark after the first real event) — r5 final review. The
-        # union does read the source once per branch; the null branch's
-        # `ts IS NULL` predicate reaches the parquet scan, so row groups
-        # with null_count=0 (the overwhelming majority — tombstones are
-        # rare) are pruned via footer stats and the second scan costs
-        # ~zero I/O. Merge idempotence covers the un-deduped null-ts
-        # rows downstream.
+        # union does read the source once per branch. For the PARQUET
+        # format the null branch's `ts IS NULL` predicate reaches the
+        # scan, so row groups with null_count=0 (the overwhelming
+        # majority — tombstones are rare) are pruned via footer stats
+        # and the second scan costs ~zero I/O. For debezium-jsonl the
+        # predicate sits ABOVE from_json over a text scan — nothing
+        # prunes, so enabling dedup_within_watermark there costs a
+        # second full scan+parse per micro-batch; that 2× is the
+        # deliberate price of correct null-ts routing (a text-level
+        # ts_ms prefilter was considered and rejected: a malformed
+        # ts_ms parses to NULL ts but would slip the prefilter — data
+        # loss). Merge idempotence covers the un-deduped null-ts rows
+        # downstream.
         with_ts = (
             stream.filter(F.col("ts").isNotNull())
             .withWatermark("ts", dedup_within_watermark)

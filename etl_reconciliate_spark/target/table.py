@@ -31,12 +31,18 @@ emulation approximates this by hash-clustering data files on the key.
 
 from __future__ import annotations
 
+import errno
 import glob
 import json
 import os
 import shutil
 import time
 import uuid
+
+try:  # POSIX advisory locks back the commit protocol; absent (non-POSIX
+    import fcntl  # or exotic FS) the protocol falls back to the
+except ImportError:  # grace-period heuristic it used before r5.
+    fcntl = None
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
@@ -109,6 +115,27 @@ class CommitConflictError(RuntimeError):
     The caller's view of the table is stale: re-read metadata, recompute
     the merge/compaction from the fresh state, and retry — exactly
     Iceberg's optimistic-concurrency contract."""
+
+
+def _try_flock(fd: int) -> str:
+    """Non-blocking exclusive ``flock`` on ``fd``; the commit protocol's
+    writer-liveness probe.
+
+    Returns ``"acquired"`` (we own the lock until the fd closes — the
+    kernel also releases it if this process dies, which is what makes
+    crashed-writer takeover safe without trusting mtimes alone),
+    ``"held"`` (a live process owns it), or ``"unsupported"`` (no
+    ``fcntl`` on this platform, or the filesystem refuses advisory
+    locks — callers fall back to the grace-period heuristic)."""
+    if fcntl is None:
+        return "unsupported"
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        return "acquired"
+    except OSError as e:
+        if e.errno in (errno.EACCES, errno.EAGAIN, errno.EWOULDBLOCK):
+            return "held"
+        return "unsupported"
 
 
 class TargetTable:
@@ -985,83 +1012,148 @@ class TargetTable:
         }
         mp = self._meta_path(version)
         # Optimistic concurrency (Iceberg-style CAS): claim the version
-        # slot by exclusive creation. If the slot exists, either (a) that
-        # version is already published (pointer >= version) or the claim
-        # is fresh — a live concurrent writer → conflict, caller must
-        # recompute from fresh metadata; or (b) the claim is stale and
-        # unpublished — a crashed writer's half-commit that nothing
-        # references → take it over (this is what makes kill -9/resume
-        # work even when the kill lands between claim and publish).
+        # slot by exclusive creation, then hold a kernel advisory lock
+        # (flock) on it from claim through pointer swap. The LOCK is the
+        # liveness signal the mtime heuristic alone could not give: a
+        # writer killed mid-commit releases it instantly, while an
+        # alive-but-stalled writer KEEPS it — so a stale-looking claim
+        # whose owner is still running can no longer be taken over and
+        # later clobbered by the owner's resume (r5 final review: the
+        # check-then-act ``>=`` guards below are not atomic; only the
+        # lock closes that window). If the slot exists, either (a) that
+        # version is already published (pointer >= version) or its
+        # owner is provably live (lock held) or plausibly live (claim
+        # younger than the grace period — covers the claimant's
+        # create-to-flock window and lock-less filesystems) → conflict,
+        # caller must recompute from fresh metadata; or (b) the claim
+        # is stale, unlocked and unpublished — a crashed writer's
+        # half-commit that nothing references → take it over (this is
+        # what makes kill -9/resume work even when the kill lands
+        # between claim and publish). Where flock is unavailable the
+        # protocol degrades to the pre-r5 grace heuristic and the
+        # ``>=`` guards are the only — narrowed, not closed — defense.
+        claim_fd = None
+        meta_fd = None
         try:
-            os.close(os.open(mp, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
-            # the O_EXCL claim can SUCCEED on a slot whose published
-            # metadata expire_snapshots already deleted — a stale writer
-            # (base read minutes ago, table since advanced past
-            # `version` and expired it) would otherwise proceed and
-            # REWIND the pointer, silently discarding every newer commit
-            # (r5 review). The pointer is the commit truth, not the slot
-            # file: re-check it after claiming.
-            if self.exists() and self.current_version() >= version:
+            fresh = True
+            try:
+                claim_fd = os.open(mp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                fresh = False
                 try:
-                    os.remove(mp)
-                except OSError:
-                    pass
+                    claim_fd = os.open(mp, os.O_RDWR)
+                except FileNotFoundError:
+                    # the slot vanished between O_EXCL and this open
+                    # (concurrent expire_snapshots, or a loser cleaning
+                    # up) — the table is moving under us
+                    raise CommitConflictError(
+                        f"version {version} of {self.path} is contended; "
+                        f"re-read metadata and retry"
+                    ) from None
+            lock = _try_flock(claim_fd)
+            if lock == "held":
+                # a LIVE writer owns this slot: it raced our O_EXCL
+                # create and locked first, or it is mid-commit on an
+                # existing claim. Never take over a living writer —
+                # conflicting here (even past the grace period) is what
+                # makes the stalled-writer clobber unreachable.
                 raise CommitConflictError(
-                    f"version {version} of {self.path} was already "
-                    f"published and expired; this writer's base snapshot "
-                    f"is stale — re-read metadata and retry"
+                    f"version {version} of {self.path} is being committed "
+                    f"by a live writer; re-read metadata and retry"
                 )
-        except FileExistsError:
-            published = self.exists() and self.current_version() >= version
-            age = time.time() - os.path.getmtime(mp)
-            if published or age < self.claim_grace_secs:
+            if fresh:
+                # the O_EXCL claim can SUCCEED on a slot whose published
+                # metadata expire_snapshots already deleted — a stale
+                # writer (base read minutes ago, table since advanced
+                # past `version` and expired it) would otherwise proceed
+                # and REWIND the pointer, silently discarding every newer
+                # commit (r5 review). The pointer is the commit truth,
+                # not the slot file: re-check it after claiming.
+                if self.exists() and self.current_version() >= version:
+                    try:
+                        os.remove(mp)
+                    except OSError:
+                        pass
+                    raise CommitConflictError(
+                        f"version {version} of {self.path} was already "
+                        f"published and expired; this writer's base "
+                        f"snapshot is stale — re-read metadata and retry"
+                    )
+            else:
+                published = (
+                    self.exists() and self.current_version() >= version
+                )
+                age = time.time() - os.path.getmtime(mp)
+                if published or age < self.claim_grace_secs:
+                    raise CommitConflictError(
+                        f"version {version} of {self.path} was committed "
+                        f"(or is being committed) by another writer; "
+                        f"re-read metadata and retry"
+                    ) from None
+                # else: stale, unlocked, unpublished → orphaned claim of
+                # a crashed writer; we now hold its lock → take it over
+            # UNIQUE temp names: under the no-flock fallback two writers
+            # can both proceed, and a SHARED .tmp path would let one
+            # truncate the inode the other is mid-write on — torn JSON
+            # published by os.replace (r4 core review)
+            tmp = f"{mp}.{uuid.uuid4().hex[:8]}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(meta, f, indent=1, sort_keys=True)
+            # Lock the inode that is ABOUT to become v{version}.json:
+            # os.replace swaps mp to this new inode and the claim lock
+            # stays on the OLD one, so without this a takeover attempt
+            # arriving between our metadata replace and pointer swap
+            # would flock the new inode, succeed, and proceed against a
+            # slot whose owner is still mid-publish.
+            meta_fd = os.open(tmp, os.O_RDWR)
+            _try_flock(meta_fd)
+            # Re-check BEFORE replacing the metadata file: under the
+            # no-flock fallback a writer stalled past claim_grace_secs
+            # may have had its slot taken over AND fully published by
+            # another writer — replacing that winner's v{version}.json
+            # with ours would silently drop its acknowledged deltas even
+            # though we then lose the pointer race (r5 final review; the
+            # post-replace `>` check missed the exactly-equal case).
+            # With flock held this is unreachable; it stays as the only
+            # guard for lock-less filesystems.
+            if self.exists() and self.current_version() >= version:
+                os.remove(tmp)
                 raise CommitConflictError(
-                    f"version {version} of {self.path} was committed (or is "
-                    f"being committed) by another writer; re-read metadata "
-                    f"and retry"
-                ) from None
-        # UNIQUE temp names: in the stale-claim takeover branch two
-        # writers can both proceed, and a SHARED .tmp path would let one
-        # truncate the inode the other is mid-write on — torn JSON
-        # published by os.replace (r4 core review)
-        tmp = f"{mp}.{uuid.uuid4().hex[:8]}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f, indent=1, sort_keys=True)
-        # Re-check BEFORE replacing the metadata file: a writer that
-        # stalled past claim_grace_secs may have had its slot taken over
-        # AND fully published by another writer — replacing that
-        # winner's v{version}.json with ours would silently drop its
-        # acknowledged deltas even though we then lose the pointer race
-        # (r5 final review; the post-replace `>` check missed the
-        # exactly-equal case and clobbered the winner).
-        if self.exists() and self.current_version() >= version:
-            os.remove(tmp)
-            raise CommitConflictError(
-                f"version {version} of {self.path} was published by a "
-                f"takeover writer while this commit was stalled; re-read "
-                f"metadata and retry"
-            )
-        os.replace(tmp, mp)
-        ptmp = f"{self._pointer}.{uuid.uuid4().hex[:8]}.tmp"
-        with open(ptmp, "w") as f:
-            f.write(str(version))
-        # never move the pointer BACKWARD or sideways: a racing writer
-        # may have published `version` itself or a newer one between our
-        # claim and here (both sides of a stale-claim takeover
-        # proceeding) — `>=`, not `>`: current == version means the
-        # takeover writer won and our swap would re-point to OUR
-        # metadata, dropping its committed deltas. The real backend (an
-        # Iceberg catalog) makes this a true CAS; the emulation narrows
-        # the check-to-replace window to microseconds and the claim
-        # protocol above makes a loser here unreachable in practice.
-        if self.exists() and self.current_version() >= version:
-            os.remove(ptmp)
-            raise CommitConflictError(
-                f"version {version} of {self.path} was overtaken by a newer "
-                f"published version before its pointer swap; re-read "
-                f"metadata and retry"
-            )
-        os.replace(ptmp, self._pointer)  # THE atomic commit point
+                    f"version {version} of {self.path} was published by a "
+                    f"takeover writer while this commit was stalled; "
+                    f"re-read metadata and retry"
+                )
+            os.replace(tmp, mp)
+            ptmp = f"{self._pointer}.{uuid.uuid4().hex[:8]}.tmp"
+            with open(ptmp, "w") as f:
+                f.write(str(version))
+            # never move the pointer BACKWARD or sideways: under the
+            # no-flock fallback a racing writer may have published
+            # `version` itself or a newer one between our claim and here
+            # (both sides of a stale-claim takeover proceeding) — `>=`,
+            # not `>`: current == version means the takeover writer won
+            # and our swap would re-point to OUR metadata, dropping its
+            # committed deltas. With flock held a loser here is
+            # unreachable (newer versions can only follow OUR pointer
+            # swap). The real backend (an Iceberg catalog) makes this a
+            # true CAS.
+            if self.exists() and self.current_version() >= version:
+                os.remove(ptmp)
+                raise CommitConflictError(
+                    f"version {version} of {self.path} was overtaken by a "
+                    f"newer published version before its pointer swap; "
+                    f"re-read metadata and retry"
+                )
+            os.replace(ptmp, self._pointer)  # THE atomic commit point
+        finally:
+            # closing the fds releases both locks — AFTER the pointer
+            # swap, so the slot is owned for the full claim→publish span
+            for fd in (claim_fd, meta_fd):
+                if fd is not None:
+                    try:
+                        os.close(fd)
+                    except OSError:
+                        pass
 
     # ---------------------------------------------------------- history
     def versions(self) -> list[int]:

@@ -267,3 +267,36 @@ def test_bounded_replay_advances_past_wide_gap(spark, tmp_path):
     assert lsn_marks[-1] == 2004
     t = TargetTable(spark, tgt)
     assert t.read().count() == 10
+
+
+def test_gap_only_runs_respect_snapshot_retention(spark, tmp_path):
+    """r5 final review round 2: a gap-only bounded run ends in the
+    trailing-gap offsets commit, which sat OUTSIDE the applied-slice
+    branch where per-slice expiry runs — draining a wide gap with
+    expire_keep set accumulated one unexpired offsets-only snapshot per
+    run. The trailing-gap commit must expire too, keeping the version
+    count at the retention bound throughout the drain."""
+    import datetime
+
+    rows = []
+    for i in range(5):  # island A: lsns 0..4; island B: lsns 2000..2004
+        rows.append((i, "I", f"a{i}", 0, "user", "x", None,
+                     datetime.datetime(2026, 1, 1)))
+        rows.append((2000 + i, "I", f"b{i}", 0, "user", "y", None,
+                     datetime.datetime(2026, 1, 1)))
+    log = str(tmp_path / "log")
+    spark.createDataFrame(
+        sorted(rows), CHANGELOG_SCHEMA
+    ).repartitionByRange(2, "lsn").write.parquet(log)
+
+    tgt = str(tmp_path / "tbl")
+    t = None
+    for _run in range(30):
+        stats = replay(spark, log, tgt, slice_size=100, max_slices=3,
+                       expire_keep=2)
+        t = TargetTable(spark, tgt)
+        # retention holds after EVERY bounded run, gap-only ones included
+        assert len(t.versions()) <= 2
+        if stats["final_lsn"] >= 2004:
+            break
+    assert t.read().count() == 10

@@ -619,13 +619,16 @@ def test_expire_skips_sweep_when_kept_metadata_unreadable(spark, tmp_path, monke
     assert t.read().count() == 4
 
 
-def test_takeover_publish_not_clobbered_by_stalled_writer(spark, tmp_path, monkeypatch):
-    """r5 final review: writer A stalls after claiming version v; B
-    legitimately takes the stale slot over and PUBLISHES v. When A
-    resumes it must conflict (current == v → `>=`, not `>`) instead of
-    replacing B's metadata and pointer — that silently dropped B's
-    acknowledged commit. A's merge then retries onto v+1, so BOTH rows
-    must be present at the end."""
+def test_live_stalled_writer_cannot_be_taken_over(spark, tmp_path, monkeypatch):
+    """r5 final reviews, two generations of the same race: writer A
+    stalls mid-commit on version v with its claim looking STALE
+    (mtime past the grace period). Under the pre-flock protocol B would
+    take the slot over and publish, and A's resume could then clobber
+    B's metadata in the check-then-replace window. Under the flock
+    protocol A — being alive — still HOLDS the slot's lock, so B's
+    attempt must conflict outright, however stale the claim looks; A
+    then publishes v unopposed and B's retry lands on v+1. Both rows
+    present, no clobber window at all."""
     import json as json_mod
 
     t = TargetTable(spark, str(tmp_path / "t"), n_buckets=2, mode="mor")
@@ -637,23 +640,24 @@ def test_takeover_publish_not_clobbered_by_stalled_writer(spark, tmp_path, monke
     real_dump = json_mod.dump
 
     def hook(obj, fh, **kw):
-        # fire once, on A's metadata write for the contested slot
+        # fire once, on A's metadata write for the contested slot —
+        # A is past its claim (holding the flock) and mid-stall
         if (
             not state["fired"]
             and isinstance(obj, dict)
             and obj.get("version") == contested
         ):
             state["fired"] = True
-            # A "stalls": its claim goes stale...
+            # A "stalls": its claim LOOKS stale to the mtime heuristic...
             mp = t._meta_path(contested)
             os.utime(mp, (time.time() - 3600, time.time() - 3600))
-            # ...and writer B takes the slot over and fully publishes it
+            # ...but A is alive and holds the slot lock, so B's takeover
+            # attempt must conflict instead of proceeding
             b = TargetTable(spark, t.path, n_buckets=2)
-            b.merge_apply(
-                _batch(spark, [(99, "I", "cB", 0, "winner")]),
-                {"lsn_hi": 99},
-            )
-            assert b.current_version() == contested
+            with pytest.raises(CommitConflictError, match="live writer"):
+                b._commit(contested, SCHEMA, b.metadata()["data_dir"], {},
+                          row_count=0, parent=contested - 1, mode="mor",
+                          deltas=list(b.metadata().get("deltas") or []))
         return real_dump(obj, fh, **kw)
 
     monkeypatch.setattr(
@@ -663,10 +667,16 @@ def test_takeover_publish_not_clobbered_by_stalled_writer(spark, tmp_path, monke
         _batch(spark, [(2, "I", "cA", 0, "stalled")]), {"lsn_hi": 2}
     )
     monkeypatch.undo()
+    assert state["fired"]
 
-    # A retried past the conflict onto the next slot
-    assert stats["version"] == contested + 1
-    # B's commit is intact: its metadata still owns the contested slot
-    assert int(t.metadata(contested)["offsets"]["lsn_hi"]) == 99
+    # A published its own slot unopposed
+    assert stats["version"] == contested
+    assert int(t.metadata(contested)["offsets"]["lsn_hi"]) == 2
+    # B retries AFTER A's commit and lands on the next slot
+    b = TargetTable(spark, t.path, n_buckets=2)
+    stats_b = b.merge_apply(
+        _batch(spark, [(99, "I", "cB", 0, "after")]), {"lsn_hi": 99}
+    )
+    assert stats_b["version"] == contested + 1
     texts = {r["conv_id"]: r["text"] for r in t.read().collect()}
-    assert texts == {"c0": "base", "cB": "winner", "cA": "stalled"}
+    assert texts == {"c0": "base", "cA": "stalled", "cB": "after"}
