@@ -172,12 +172,18 @@ class TargetTable:
       history, never silently).
 
     Writers use optimistic concurrency: the version slot is claimed by
-    exclusive creation of the metadata file; a concurrent second writer
-    gets :class:`CommitConflictError` and must recompute from fresh
-    metadata (Iceberg-style CAS). A slot older than
-    ``claim_grace_secs`` whose version was never published (pointer
-    still behind) is a dead half-commit from a crashed writer and is
-    taken over.
+    exclusive creation of the metadata file and OWNED via a kernel
+    advisory lock (flock) held from claim through pointer swap; a
+    concurrent second writer gets :class:`CommitConflictError` and must
+    recompute from fresh metadata (Iceberg-style CAS). A slot older
+    than ``claim_grace_secs`` whose version was never published
+    (pointer still behind) AND whose lock is free is a dead
+    half-commit from a crashed writer (the kernel released its lock at
+    death) and is taken over; a LIVE writer — however stalled — keeps
+    its lock and is never taken over. On filesystems without advisory
+    locks the protocol degrades to the mtime-grace heuristic alone,
+    where a live writer stalled past the grace period CAN be taken
+    over (the pre-lock behavior).
     """
 
     def __init__(
@@ -982,6 +988,27 @@ class TargetTable:
         return rc
 
     # ----------------------------------------------------------- commit
+    def _conflict_if_published(
+        self, version: int, cleanup: str | None = None, what: str = ""
+    ) -> None:
+        """Raise :class:`CommitConflictError` if the pointer already
+        names ``version`` or newer, removing ``cleanup`` first.
+
+        The shared check-then-act guard of the commit protocol: under
+        flock ownership it is defense-in-depth; under the no-flock
+        fallback it is the only protection (narrowed, not closed —
+        plain files offer no atomic compare-and-swap)."""
+        if self.exists() and self.current_version() >= version:
+            if cleanup is not None:
+                try:
+                    os.remove(cleanup)
+                except OSError:
+                    pass
+            raise CommitConflictError(
+                f"version {version} of {self.path} {what}; re-read "
+                f"metadata and retry"
+            )
+
     def _commit(
         self,
         version: int,
@@ -1041,19 +1068,36 @@ class TargetTable:
             except FileExistsError:
                 fresh = False
                 try:
-                    claim_fd = os.open(mp, os.O_RDWR)
-                except FileNotFoundError:
+                    # O_RDONLY, not O_RDWR: flock needs no write access,
+                    # and another user's 0644 claim in a shared table
+                    # dir would make O_RDWR raise EACCES (review of
+                    # this commit)
+                    claim_fd = os.open(mp, os.O_RDONLY)
+                except (FileNotFoundError, PermissionError):
                     # the slot vanished between O_EXCL and this open
                     # (concurrent expire_snapshots, or a loser cleaning
-                    # up) — the table is moving under us
+                    # up), or it is another user's unreadable claim —
+                    # the table is moving / owned elsewhere
                     raise CommitConflictError(
                         f"version {version} of {self.path} is contended; "
                         f"re-read metadata and retry"
                     ) from None
             lock = _try_flock(claim_fd)
+            if lock == "held" and fresh:
+                # we CREATED this claim, so the only possible holder is
+                # a prober that flocked it inside our create-to-flock
+                # window; it will see age < grace, conflict, and
+                # release. Wait it out briefly instead of conflicting —
+                # otherwise the slot is left claimed-but-ownerless and
+                # poisons BOTH writers for claim_grace_secs (review of
+                # this commit; the O_EXCL winner must keep its pre-lock
+                # always-proceeds property).
+                deadline = time.monotonic() + 1.0
+                while lock == "held" and time.monotonic() < deadline:
+                    time.sleep(0.02)
+                    lock = _try_flock(claim_fd)
             if lock == "held":
-                # a LIVE writer owns this slot: it raced our O_EXCL
-                # create and locked first, or it is mid-commit on an
+                # a LIVE writer owns this slot: it is mid-commit on an
                 # existing claim. Never take over a living writer —
                 # conflicting here (even past the grace period) is what
                 # makes the stalled-writer clobber unreachable.
@@ -1069,27 +1113,55 @@ class TargetTable:
                 # and REWIND the pointer, silently discarding every newer
                 # commit (r5 review). The pointer is the commit truth,
                 # not the slot file: re-check it after claiming.
-                if self.exists() and self.current_version() >= version:
-                    try:
-                        os.remove(mp)
-                    except OSError:
-                        pass
-                    raise CommitConflictError(
-                        f"version {version} of {self.path} was already "
-                        f"published and expired; this writer's base "
-                        f"snapshot is stale — re-read metadata and retry"
-                    )
-            else:
-                published = (
-                    self.exists() and self.current_version() >= version
+                self._conflict_if_published(
+                    version, cleanup=mp,
+                    what="was already published and expired; this "
+                         "writer's base snapshot is stale",
                 )
-                age = time.time() - os.path.getmtime(mp)
-                if published or age < self.claim_grace_secs:
+            else:
+                if lock == "acquired":
+                    # revalidate that the locked inode is still the slot
+                    # path: the claim we opened may have been replaced
+                    # (its owner published and a successor's claim took
+                    # the name) or removed while we raced here, in which
+                    # case our lock is on an ORPHANED inode and another
+                    # writer can simultaneously hold the CURRENT one —
+                    # two "owners" and the clobber race returns (review
+                    # of this commit)
+                    try:
+                        same = (
+                            os.fstat(claim_fd).st_ino
+                            == os.stat(mp).st_ino
+                        )
+                    except OSError:
+                        same = False
+                    if not same:
+                        raise CommitConflictError(
+                            f"version {version} of {self.path} slot "
+                            f"changed under its claim; re-read metadata "
+                            f"and retry"
+                        )
+                self._conflict_if_published(
+                    version, what="was committed by another writer"
+                )
+                try:
+                    age = time.time() - os.path.getmtime(mp)
+                except OSError:
+                    # the claim vanished under us (a loser's cleanup or
+                    # concurrent expire) — retryable, not a crash
+                    # (review of this commit: getmtime on a removed
+                    # claim raised FileNotFoundError out of the
+                    # protocol)
                     raise CommitConflictError(
-                        f"version {version} of {self.path} was committed "
-                        f"(or is being committed) by another writer; "
+                        f"version {version} of {self.path} is contended; "
                         f"re-read metadata and retry"
                     ) from None
+                if age < self.claim_grace_secs:
+                    raise CommitConflictError(
+                        f"version {version} of {self.path} is being "
+                        f"committed by another writer; re-read metadata "
+                        f"and retry"
+                    )
                 # else: stale, unlocked, unpublished → orphaned claim of
                 # a crashed writer; we now hold its lock → take it over
             # UNIQUE temp names: under the no-flock fallback two writers
@@ -1116,13 +1188,11 @@ class TargetTable:
             # post-replace `>` check missed the exactly-equal case).
             # With flock held this is unreachable; it stays as the only
             # guard for lock-less filesystems.
-            if self.exists() and self.current_version() >= version:
-                os.remove(tmp)
-                raise CommitConflictError(
-                    f"version {version} of {self.path} was published by a "
-                    f"takeover writer while this commit was stalled; "
-                    f"re-read metadata and retry"
-                )
+            self._conflict_if_published(
+                version, cleanup=tmp,
+                what="was published by a takeover writer while this "
+                     "commit was stalled",
+            )
             os.replace(tmp, mp)
             ptmp = f"{self._pointer}.{uuid.uuid4().hex[:8]}.tmp"
             with open(ptmp, "w") as f:
@@ -1137,13 +1207,11 @@ class TargetTable:
             # unreachable (newer versions can only follow OUR pointer
             # swap). The real backend (an Iceberg catalog) makes this a
             # true CAS.
-            if self.exists() and self.current_version() >= version:
-                os.remove(ptmp)
-                raise CommitConflictError(
-                    f"version {version} of {self.path} was overtaken by a "
-                    f"newer published version before its pointer swap; "
-                    f"re-read metadata and retry"
-                )
+            self._conflict_if_published(
+                version, cleanup=ptmp,
+                what="was overtaken by a newer published version before "
+                     "its pointer swap",
+            )
             os.replace(ptmp, self._pointer)  # THE atomic commit point
         finally:
             # closing the fds releases both locks — AFTER the pointer
