@@ -1063,6 +1063,7 @@ class TargetTable:
         meta_fd = None
         try:
             fresh = True
+            lock = "unsupported"
             try:
                 claim_fd = os.open(mp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
@@ -1073,38 +1074,97 @@ class TargetTable:
                     # dir would make O_RDWR raise EACCES (review of
                     # this commit)
                     claim_fd = os.open(mp, os.O_RDONLY)
-                except (FileNotFoundError, PermissionError):
+                except FileNotFoundError:
                     # the slot vanished between O_EXCL and this open
                     # (concurrent expire_snapshots, or a loser cleaning
-                    # up), or it is another user's unreadable claim —
-                    # the table is moving / owned elsewhere
+                    # up) — the table is moving under us
                     raise CommitConflictError(
                         f"version {version} of {self.path} is contended; "
                         f"re-read metadata and retry"
                     ) from None
-            lock = _try_flock(claim_fd)
+                except PermissionError:
+                    # another user's UNREADABLE claim (umask 0o077 makes
+                    # O_EXCL create 0o700): the flock liveness probe is
+                    # unavailable, but the mtime heuristic below needs
+                    # only directory access. Degrade to the pre-lock
+                    # protocol for this slot rather than conflicting
+                    # forever on a dead owner's claim (review of this
+                    # commit — mapping EACCES to a conflict made such a
+                    # slot permanently un-takeover-able).
+                    claim_fd = None
+            if claim_fd is not None:
+                lock = _try_flock(claim_fd)
             if lock == "held" and fresh:
                 # we CREATED this claim, so the only possible holder is
                 # a prober that flocked it inside our create-to-flock
-                # window; it will see age < grace, conflict, and
-                # release. Wait it out briefly instead of conflicting —
-                # otherwise the slot is left claimed-but-ownerless and
-                # poisons BOTH writers for claim_grace_secs (review of
-                # this commit; the O_EXCL winner must keep its pre-lock
-                # always-proceeds property).
+                # window (a takeover needs the claim to be older than
+                # the grace period); it will see age < grace, conflict,
+                # and release. Wait it out briefly instead of
+                # conflicting — otherwise the slot is left
+                # claimed-but-ownerless and poisons BOTH writers for
+                # claim_grace_secs (review of this commit; the O_EXCL
+                # winner must keep its pre-lock always-proceeds
+                # property).
                 deadline = time.monotonic() + 1.0
                 while lock == "held" and time.monotonic() < deadline:
                     time.sleep(0.02)
                     lock = _try_flock(claim_fd)
             if lock == "held":
-                # a LIVE writer owns this slot: it is mid-commit on an
-                # existing claim. Never take over a living writer —
-                # conflicting here (even past the grace period) is what
-                # makes the stalled-writer clobber unreachable.
+                if fresh:
+                    # the holder outlasted the wait. If the claim is
+                    # still YOUNGER than the grace period no takeover
+                    # can have passed the age gate, so the holder can
+                    # only be a stuck prober that will never publish —
+                    # remove our own claim so the slot doesn't sit
+                    # claimed-but-ownerless for the rest of the grace
+                    # period (review of this commit). If it is already
+                    # older (we stalled past grace before flocking), the
+                    # holder may be a legitimate takeover writer
+                    # mid-publish — leave the slot alone.
+                    try:
+                        young = (
+                            time.time() - os.path.getmtime(mp)
+                        ) < self.claim_grace_secs
+                    except OSError:
+                        young = False
+                    if young:
+                        try:
+                            os.remove(mp)
+                        except OSError:
+                            pass
+                # a LIVE writer owns this slot: never take over a
+                # living writer — conflicting here (even past the grace
+                # period) is what makes the stalled-writer clobber
+                # unreachable.
                 raise CommitConflictError(
                     f"version {version} of {self.path} is being committed "
                     f"by a live writer; re-read metadata and retry"
                 )
+            if claim_fd is not None:
+                # Revalidate that the claimed fd's inode is still the
+                # slot path — in BOTH branches. Prober side: the claim
+                # we opened may have been replaced or removed while we
+                # raced here, leaving our lock on an ORPHANED inode
+                # while another writer holds the CURRENT one — two
+                # simultaneous "owners" and the clobber race returns.
+                # Creator side: a creator that stalled past the grace
+                # period between O_EXCL and flock can resume AFTER a
+                # takeover writer republished the path; without this
+                # check the expired-slot cleanup below would os.remove
+                # the taker's PUBLISHED v{version}.json that _current
+                # references — destroying an acknowledged commit
+                # (review of this commit).
+                try:
+                    same = (
+                        os.fstat(claim_fd).st_ino == os.stat(mp).st_ino
+                    )
+                except OSError:
+                    same = False
+                if not same:
+                    raise CommitConflictError(
+                        f"version {version} of {self.path} slot changed "
+                        f"under its claim; re-read metadata and retry"
+                    )
             if fresh:
                 # the O_EXCL claim can SUCCEED on a slot whose published
                 # metadata expire_snapshots already deleted — a stale
@@ -1112,35 +1172,15 @@ class TargetTable:
                 # past `version` and expired it) would otherwise proceed
                 # and REWIND the pointer, silently discarding every newer
                 # commit (r5 review). The pointer is the commit truth,
-                # not the slot file: re-check it after claiming.
+                # not the slot file: re-check it after claiming. The
+                # cleanup removes OUR OWN still-empty claim (inode
+                # verified above), never another writer's metadata.
                 self._conflict_if_published(
                     version, cleanup=mp,
                     what="was already published and expired; this "
                          "writer's base snapshot is stale",
                 )
             else:
-                if lock == "acquired":
-                    # revalidate that the locked inode is still the slot
-                    # path: the claim we opened may have been replaced
-                    # (its owner published and a successor's claim took
-                    # the name) or removed while we raced here, in which
-                    # case our lock is on an ORPHANED inode and another
-                    # writer can simultaneously hold the CURRENT one —
-                    # two "owners" and the clobber race returns (review
-                    # of this commit)
-                    try:
-                        same = (
-                            os.fstat(claim_fd).st_ino
-                            == os.stat(mp).st_ino
-                        )
-                    except OSError:
-                        same = False
-                    if not same:
-                        raise CommitConflictError(
-                            f"version {version} of {self.path} slot "
-                            f"changed under its claim; re-read metadata "
-                            f"and retry"
-                        )
                 self._conflict_if_published(
                     version, what="was committed by another writer"
                 )

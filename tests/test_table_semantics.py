@@ -619,6 +619,61 @@ def test_expire_skips_sweep_when_kept_metadata_unreadable(spark, tmp_path, monke
     assert t.read().count() == 4
 
 
+def test_stalled_creator_resume_preserves_takeover_publish(
+    spark, tmp_path, monkeypatch
+):
+    """r5 final review round 3: writer A creates its claim, then stalls
+    PAST the grace period before flocking it; writer B legitimately
+    takes the stale slot over and publishes. When A resumes, its lock
+    lands on the ORPHANED claim inode (B's publish replaced the path),
+    and without the inode revalidation A's expired-slot cleanup would
+    os.remove B's PUBLISHED v{version}.json — the file _current points
+    at — destroying an acknowledged commit. A must instead conflict and
+    retry onto the next slot with B's metadata intact."""
+    import etl_reconciliate_spark.target.table as tbl_mod
+
+    t = TargetTable(spark, str(tmp_path / "t"), n_buckets=2, mode="mor")
+    t.init(SCHEMA)
+    t.merge_apply(_batch(spark, [(1, "I", "c0", 0, "base")]), {"lsn_hi": 1})
+    contested = t.current_version() + 1
+
+    state = {"fired": False}
+    real_flock = tbl_mod._try_flock
+
+    def stall_then_flock(fd):
+        # fire once, at A's FIRST flock attempt — i.e. in the window
+        # between A's O_EXCL create and its lock acquisition
+        if not state["fired"]:
+            state["fired"] = True
+            # A's stall pushes its claim past the grace period...
+            mp = t._meta_path(contested)
+            os.utime(mp, (time.time() - 3600, time.time() - 3600))
+            # ...and writer B takes the stale, UNLOCKED slot over and
+            # fully publishes it (B's own flock calls recurse here with
+            # fired already set, passing straight through)
+            b = TargetTable(spark, t.path, n_buckets=2)
+            b.merge_apply(
+                _batch(spark, [(99, "I", "cB", 0, "winner")]),
+                {"lsn_hi": 99},
+            )
+            assert b.current_version() == contested
+        return real_flock(fd)
+
+    monkeypatch.setattr(tbl_mod, "_try_flock", stall_then_flock)
+    stats = t.merge_apply(
+        _batch(spark, [(2, "I", "cA", 0, "resumed")]), {"lsn_hi": 2}
+    )
+    monkeypatch.undo()
+    assert state["fired"]
+
+    # A conflicted on the orphaned inode and retried onto the next slot
+    assert stats["version"] == contested + 1
+    # B's published metadata survived A's resume
+    assert int(t.metadata(contested)["offsets"]["lsn_hi"]) == 99
+    texts = {r["conv_id"]: r["text"] for r in t.read().collect()}
+    assert texts == {"c0": "base", "cB": "winner", "cA": "resumed"}
+
+
 def test_live_stalled_writer_cannot_be_taken_over(spark, tmp_path, monkeypatch):
     """r5 final reviews, two generations of the same race: writer A
     stalls mid-commit on version v with its claim looking STALE
