@@ -1066,6 +1066,16 @@ class TargetTable:
             lock = "unsupported"
             try:
                 claim_fd = os.open(mp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                try:
+                    # world-readable regardless of umask: another user's
+                    # writer must be able to open+flock this claim for
+                    # the liveness probe — a 0o700 claim (umask 0o077)
+                    # would push cross-user writers onto the lock-less
+                    # EACCES degrade below, which can take over a LIVE
+                    # stalled owner (review round 4)
+                    os.fchmod(claim_fd, 0o644)
+                except OSError:
+                    pass
             except FileExistsError:
                 fresh = False
                 try:
@@ -1120,14 +1130,23 @@ class TargetTable:
                     # period (review of this commit). If it is already
                     # older (we stalled past grace before flocking), the
                     # holder may be a legitimate takeover writer
-                    # mid-publish — leave the slot alone.
+                    # mid-publish — leave the slot alone. BOTH gates are
+                    # checked against the inode WE created (review round
+                    # 4): after a taker's os.replace, mp's mtime is the
+                    # fresh PUBLISH time — young alone would then remove
+                    # the taker's published metadata. Same-inode ∧ young
+                    # is airtight: the mtime is then our creation time,
+                    # so no taker can have passed the age gate, and none
+                    # can be mid-replace either.
                     try:
+                        st = os.stat(mp)
+                        ours = os.fstat(claim_fd).st_ino == st.st_ino
                         young = (
-                            time.time() - os.path.getmtime(mp)
+                            time.time() - st.st_mtime
                         ) < self.claim_grace_secs
                     except OSError:
-                        young = False
-                    if young:
+                        ours = young = False
+                    if ours and young:
                         try:
                             os.remove(mp)
                         except OSError:
@@ -1172,11 +1191,17 @@ class TargetTable:
                 # past `version` and expired it) would otherwise proceed
                 # and REWIND the pointer, silently discarding every newer
                 # commit (r5 review). The pointer is the commit truth,
-                # not the slot file: re-check it after claiming. The
-                # cleanup removes OUR OWN still-empty claim (inode
-                # verified above), never another writer's metadata.
+                # not the slot file: re-check it after claiming. No
+                # cleanup of mp here (review round 4): between the inode
+                # revalidation above and a remove, a lock-less
+                # (EACCES-degraded or no-flock-FS) taker could republish
+                # mp — removing would destroy its acknowledged metadata.
+                # The cost of NOT removing is one inert empty claim file
+                # at a below-pointer version nobody will ever target
+                # again (version numbers are monotone; ``versions()``
+                # skips empty files).
                 self._conflict_if_published(
-                    version, cleanup=mp,
+                    version,
                     what="was already published and expired; this "
                          "writer's base snapshot is stale",
                 )

@@ -575,7 +575,15 @@ def test_stale_writer_cannot_rewind_pointer(spark, tmp_path):
         t._commit(version=v, schema=SCHEMA, data_dir="snap-bogus",
                   offsets={}, row_count=0, parent=v - 1)
     assert t.current_version() == cur  # pointer untouched
-    assert not os.path.exists(t._meta_path(v))  # claim cleaned up
+    # the empty claim is deliberately LEFT BEHIND (review round 4:
+    # removing it raced a lock-less taker's republish and could destroy
+    # published metadata); it is inert — below the pointer, never
+    # targeted again, skipped by versions()
+    assert os.path.getsize(t._meta_path(v)) == 0
+    assert v not in t.versions()
+    # and the table keeps working normally after the stale conflict
+    t.merge_apply(_batch(spark, [(50, "I", "c9", 0, "y")]), {"b": 9})
+    assert t.current_version() == cur + 1
 
 
 def test_expire_skips_sweep_when_kept_metadata_unreadable(spark, tmp_path, monkeypatch):
