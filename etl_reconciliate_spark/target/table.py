@@ -138,6 +138,16 @@ def _try_flock(fd: int) -> str:
         return "unsupported"
 
 
+def _claim_is_current(claim_fd: int, mp: str) -> bool:
+    """True iff ``claim_fd``'s inode is still what ``mp`` names — i.e.
+    the claimed file has not been replaced (another writer's publish)
+    or removed out from under its holder. False on any stat failure."""
+    try:
+        return os.fstat(claim_fd).st_ino == os.stat(mp).st_ino
+    except OSError:
+        return False
+
+
 class TargetTable:
     """A versioned, MERGE-able table rooted at ``path``.
 
@@ -1066,16 +1076,18 @@ class TargetTable:
             lock = "unsupported"
             try:
                 claim_fd = os.open(mp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                try:
-                    # world-readable regardless of umask: another user's
-                    # writer must be able to open+flock this claim for
-                    # the liveness probe — a 0o700 claim (umask 0o077)
-                    # would push cross-user writers onto the lock-less
-                    # EACCES degrade below, which can take over a LIVE
-                    # stalled owner (review round 4)
-                    os.fchmod(claim_fd, 0o644)
-                except OSError:
-                    pass
+                if hasattr(os, "fchmod"):  # absent on Windows < 3.13
+                    try:
+                        # world-readable regardless of umask: another
+                        # user's writer must be able to open+flock this
+                        # claim for the liveness probe — a 0o700 claim
+                        # (umask 0o077) would push cross-user writers
+                        # onto the lock-less EACCES degrade below, which
+                        # can take over a LIVE stalled owner (review
+                        # round 4)
+                        os.fchmod(claim_fd, 0o644)
+                    except OSError:
+                        pass
             except FileExistsError:
                 fresh = False
                 try:
@@ -1135,9 +1147,15 @@ class TargetTable:
                     # 4): after a taker's os.replace, mp's mtime is the
                     # fresh PUBLISH time — young alone would then remove
                     # the taker's published metadata. Same-inode ∧ young
-                    # is airtight: the mtime is then our creation time,
-                    # so no taker can have passed the age gate, and none
-                    # can be mid-replace either.
+                    # means the mtime is our creation time, so no taker
+                    # can have passed the age gate, and none can be
+                    # mid-replace. Residual (review round 5, accepted):
+                    # the inode is re-checked immediately before the
+                    # unlink, but stat→unlink is still two syscalls — a
+                    # stall between them that ALSO outlasts the
+                    # remaining grace, combined with a lock-less taker,
+                    # could remove a publish; plain files offer no
+                    # unlink-if-inode-matches to close that.
                     try:
                         st = os.stat(mp)
                         ours = os.fstat(claim_fd).st_ino == st.st_ino
@@ -1146,7 +1164,7 @@ class TargetTable:
                         ) < self.claim_grace_secs
                     except OSError:
                         ours = young = False
-                    if ours and young:
+                    if ours and young and _claim_is_current(claim_fd, mp):
                         try:
                             os.remove(mp)
                         except OSError:
@@ -1173,13 +1191,7 @@ class TargetTable:
                 # the taker's PUBLISHED v{version}.json that _current
                 # references — destroying an acknowledged commit
                 # (review of this commit).
-                try:
-                    same = (
-                        os.fstat(claim_fd).st_ino == os.stat(mp).st_ino
-                    )
-                except OSError:
-                    same = False
-                if not same:
+                if not _claim_is_current(claim_fd, mp):
                     raise CommitConflictError(
                         f"version {version} of {self.path} slot changed "
                         f"under its claim; re-read metadata and retry"
@@ -1355,6 +1367,44 @@ class TargetTable:
                 os.remove(self._meta_path(v))
             except FileNotFoundError:
                 pass
+        # Reap inert EMPTY claims at or below the published pointer
+        # (review round 5): the expired-slot conflict path deliberately
+        # leaves its empty claim behind (removing it raced a lock-less
+        # taker's republish), and nothing else reclaimed them —
+        # versions() skips empty files, so the drop list above never
+        # contains one, and a table whose writers repeatedly hit the
+        # stale-base conflict would grow one permanent file per
+        # conflict. An empty claim with version <= pointer can never be
+        # republished — the pre-replace pointer guard conflicts any
+        # holder before its os.replace — so once its flock is free it
+        # is pure litter; a held lock (live claimant about to conflict)
+        # defers it to the next expire.
+        ptr = self.current_version()
+        for name in os.listdir(self.path):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            try:
+                ver = int(name[1:-5])
+            except ValueError:
+                continue
+            if ver > ptr:
+                continue  # an in-flight claim for a future version
+            p = os.path.join(self.path, name)
+            fd = None
+            try:
+                if os.path.getsize(p) != 0:
+                    continue
+                fd = os.open(p, os.O_RDONLY)
+                if _try_flock(fd) != "held" and os.path.getsize(p) == 0:
+                    os.remove(p)
+            except OSError:
+                pass
+            finally:
+                if fd is not None:
+                    try:
+                        os.close(fd)
+                    except OSError:
+                        pass
         if referenced is None:
             return
         now = time.time()

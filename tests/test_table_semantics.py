@@ -584,6 +584,10 @@ def test_stale_writer_cannot_rewind_pointer(spark, tmp_path):
     # and the table keeps working normally after the stale conflict
     t.merge_apply(_batch(spark, [(50, "I", "c9", 0, "y")]), {"b": 9})
     assert t.current_version() == cur + 1
+    # expire reaps the inert litter (review round 5): an empty,
+    # unlocked claim at or below the pointer can never be republished
+    t.expire_snapshots(keep_last=2)
+    assert not os.path.exists(t._meta_path(v))
 
 
 def test_expire_skips_sweep_when_kept_metadata_unreadable(spark, tmp_path, monkeypatch):
