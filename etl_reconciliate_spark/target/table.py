@@ -1395,7 +1395,18 @@ class TargetTable:
                 if os.path.getsize(p) != 0:
                     continue
                 fd = os.open(p, os.O_RDONLY)
-                if _try_flock(fd) != "held" and os.path.getsize(p) == 0:
+                # _claim_is_current: the probe's lock lives on the
+                # OPENED inode — if the path was reaped by a racing
+                # expirer and re-created (O_EXCL) by a new claimant
+                # between our open and here, removing by path would
+                # yank that claimant's flock-HELD claim (review round
+                # 6; bounded — it conflicts retryably either way — but
+                # the held-lock-defers contract should hold)
+                if (
+                    _try_flock(fd) != "held"
+                    and _claim_is_current(fd, p)
+                    and os.fstat(fd).st_size == 0
+                ):
                     os.remove(p)
             except OSError:
                 pass
