@@ -747,3 +747,62 @@ def test_live_stalled_writer_cannot_be_taken_over(spark, tmp_path, monkeypatch):
     assert stats_b["version"] == contested + 1
     texts = {r["conv_id"]: r["text"] for r in t.read().collect()}
     assert texts == {"c0": "base", "cA": "stalled", "cB": "after"}
+
+
+def test_concurrent_writer_hammer_loses_nothing(spark, tmp_path):
+    """End-to-end contention evidence for the flock commit protocol:
+    four writers (own TargetTable instances, one shared session — flock
+    conflicts between fds within one process exactly as across
+    processes) race 5 merges each onto one MoR table, crossing a
+    compaction threshold mid-hammer. Every CommitConflictError is
+    retried from fresh state. NOTHING may be lost: all 20 batches'
+    rows present with their final text, versions strictly monotone,
+    and the metadata row count consistent with a direct read."""
+    import threading
+
+    path = str(tmp_path / "t")
+    t0 = TargetTable(spark, path, n_buckets=2, mode="mor",
+                     compact_threshold=7)
+    t0.init(SCHEMA)
+
+    n_writers, n_batches = 4, 5
+    errors: list = []
+
+    def writer(w: int) -> None:
+        t = TargetTable(spark, path, n_buckets=2, compact_threshold=7)
+        for b in range(n_batches):
+            lsn = 1000 + w * 100 + b
+            batch = _batch(
+                spark,
+                [(lsn, "I", f"w{w}", b, f"text-{w}-{b}")],
+            )
+            for attempt in range(60):
+                try:
+                    t.merge_apply(batch, {"lsn_hi": lsn})
+                    break
+                except CommitConflictError:
+                    time.sleep(0.05 * (1 + (attempt % 4)))
+            else:
+                errors.append(f"writer {w} batch {b} never committed")
+                return
+
+    threads = [
+        threading.Thread(target=writer, args=(w,)) for w in range(n_writers)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == []
+
+    t = TargetTable(spark, path, n_buckets=2)
+    rows = {(r["conv_id"], r["turn_idx"]): r["text"]
+            for r in t.read().collect()}
+    expect = {(f"w{w}", b): f"text-{w}-{b}"
+              for w in range(n_writers) for b in range(n_batches)}
+    assert rows == expect  # no lost updates, no phantoms
+    # version history is strictly monotone and the pointer is readable
+    vs = t.versions()
+    assert vs == sorted(set(vs))
+    assert t.metadata()["version"] == t.current_version()
+    assert t.count_live() == n_writers * n_batches
