@@ -59,6 +59,12 @@ def main() -> int:
     from etl_reconciliate_spark.target.table import TargetTable
 
     table = TargetTable(spark, args.target)
+    if not table.exists():
+        # keep the one-JSON-line stdout contract on a not-yet-replayed
+        # target (first cron run) instead of a FileNotFoundError
+        # traceback (r5 jobs review; same guard as maintain/rollup)
+        print(json.dumps({"error": f"no table at {args.target}"}))
+        return 1
     from_v = args.from_version
     bootstrap = False
     if args.cursor_file is not None:

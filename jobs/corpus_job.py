@@ -67,6 +67,14 @@ def main() -> int:
 
     # keep_cols carries text through the curation projection — no
     # second documents scan/join to re-attach it
+    from pyspark import StorageLevel
+
+    # DISK_ONLY persists (r5 jobs review): the curated — and, with
+    # --benchmark, the decontaminated — lineage feeds the count below
+    # AND the split/pack/re-attach plan; unpersisted, the curation
+    # pipeline (and the contamination shingle join, the costliest
+    # stage) re-executed up to three times. Disk spill, never executor
+    # memory: the frame is the job's own output scale.
     curated = curate_corpus(
         docs,
         min_quality=args.min_quality,
@@ -74,7 +82,7 @@ def main() -> int:
         langs=tuple(args.langs.split(",")),
         jaccard_threshold=args.jaccard_threshold,
         keep_cols=("text",),
-    ).select("doc_id", "text")
+    ).select("doc_id", "text").persist(StorageLevel.DISK_ONLY)
     n_curated = curated.count()
 
     n_decontaminated = n_curated
@@ -82,7 +90,7 @@ def main() -> int:
         bench = spark.read.parquet(args.benchmark)
         curated = decontaminate(
             curated, bench, min_overlap_frac=args.contamination_frac
-        )
+        ).persist(StorageLevel.DISK_ONLY)
         n_decontaminated = curated.count()
 
     split = split_assign(curated, seed=args.seed)

@@ -44,8 +44,8 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import shutil
 import sys
+import uuid
 
 META_NAME = "_dedup_index_meta.json"
 
@@ -74,6 +74,10 @@ def main() -> int:
                     help="incremental refresh from read_changes since the "
                          "index's recorded version (falls back to a full "
                          "build when no index exists yet)")
+    ap.add_argument("--sweep-grace-secs", type=float, default=300.0,
+                    help="skip sweeping data-v* dirs younger than this "
+                         "(protects an overlapping run's just-written dir "
+                         "and readers mid-scan of the previous version)")
     ap.add_argument("--pairs-out", default=None,
                     help="also write the new near-dup pairs parquet here")
     args = ap.parse_args()
@@ -105,6 +109,7 @@ def main() -> int:
         with open(meta_path) as f:
             prior_meta = json.load(f)
     meta = None
+    expired = False
     if args.refresh and prior_meta is not None:
         meta = prior_meta
         if {k: meta.get(k) for k in params} != params:
@@ -116,10 +121,18 @@ def main() -> int:
             tbl.metadata(meta["table_version"])
         except FileNotFoundError:
             meta = None  # recorded snapshot expired → full rebuild
+            expired = True
 
     out = {"to_version": to_version, **params}
     os.makedirs(args.index_dir, exist_ok=True)
-    data_dir = os.path.join(args.index_dir, f"data-v{to_version:06d}")
+    # unique suffix (r5 jobs review): a REBUILD while the table version
+    # is unchanged would otherwise mode('overwrite') the very dir the
+    # live meta points at — destroying the index in place before the
+    # swap, so a crash mid-write strands the meta on a corrupt dir
+    data_dir = os.path.join(
+        args.index_dir,
+        f"data-v{to_version:06d}-{uuid.uuid4().hex[:8]}",
+    )
     new_pairs = None
 
     def build_index(docs):
@@ -129,7 +142,14 @@ def main() -> int:
         )
 
     if meta is None:
-        out["mode"] = "build" if prior_meta is None else "rebuild_expired_base"
+        # "rebuild_expired_base" ONLY when the refresh base actually
+        # expired — it is the signal that expire_snapshots outpaces the
+        # refresh cadence; a deliberate rebuild over a healthy index
+        # (no --refresh) is just "rebuild" (r5 jobs review: the old
+        # label fired false expiry alarms on intentional rebuilds)
+        out["mode"] = ("build" if prior_meta is None
+                       else "rebuild_expired_base" if expired
+                       else "rebuild")
         docs = _docs_frame(tbl.read(version=to_version))
         idx = build_index(docs)
         idx.write.mode("overwrite").option("compression", "zstd").parquet(
@@ -150,6 +170,17 @@ def main() -> int:
         out.update(mode="refresh", from_version=to_version,
                    changed_docs=0, new_pairs=0,
                    index_rows=meta["index_rows"])
+        if args.pairs_out:
+            # a no-op refresh must not leave the PREVIOUS run's pairs
+            # file in place while reporting new_pairs=0 — a consumer
+            # ingesting --pairs-out after each run would re-ingest the
+            # old pairs as this run's output (r5 jobs review; same
+            # stale-file contract the build path already honors)
+            spark.createDataFrame(
+                [], "doc_a STRING, doc_b STRING, n_common BIGINT, "
+                    "jaccard DOUBLE",
+            ).write.mode("overwrite").parquet(args.pairs_out)
+            out["pairs_path"] = args.pairs_out
         print(json.dumps(out))
         return 0
     else:
@@ -209,14 +240,16 @@ def main() -> int:
         json.dump({"table_version": to_version, **params,
                    "data_dir": data_dir, "index_rows": rows}, f)
     os.replace(meta_path + ".tmp", meta_path)  # atomic pointer swap
-    # sweep EVERY data-v* dir the fresh meta no longer points at — the
-    # prior meta's dir, plus any orphan a crash left between a write
-    # and its pointer swap (those accumulate corpus-sized copies)
-    for d in os.listdir(args.index_dir):
-        full = os.path.join(args.index_dir, d)
-        if (d.startswith("data-v") and os.path.isdir(full)
-                and os.path.abspath(full) != os.path.abspath(data_dir)):
-            shutil.rmtree(full, ignore_errors=True)
+    # sweep data-v* dirs the fresh meta no longer points at — the prior
+    # meta's dir, plus any orphan a crash left between a write and its
+    # pointer swap (those accumulate corpus-sized copies); graced and
+    # live-meta-aware, see plans.checkpoint.sweep_stale_data_dirs
+    from etl_reconciliate_spark.plans.checkpoint import (
+        sweep_stale_data_dirs,
+    )
+
+    sweep_stale_data_dirs(args.index_dir, meta_path, data_dir,
+                          grace_secs=args.sweep_grace_secs)
     print(json.dumps(out))
     return 0
 

@@ -31,7 +31,13 @@ def _load(spark, target: str | None, parquet: str | None, version=None):
     from etl_reconciliate_spark.target.table import TargetTable
 
     if target is not None:
-        return TargetTable(spark, target).read(version=version)
+        tbl = TargetTable(spark, target)
+        if not tbl.exists():
+            # one-JSON-line contract on a not-yet-replayed target (r5
+            # jobs review; same guard as maintain/rollup/changes)
+            print(json.dumps({"error": f"no table at {target}"}))
+            raise SystemExit(1)
+        return tbl.read(version=version)
     return spark.read.parquet(parquet)
 
 

@@ -89,7 +89,19 @@ def main() -> int:
         source = spark.read.parquet(args.source)
 
     tbl = TargetTable(spark, args.target)
-    target = tbl.read()
+    if not tbl.exists():
+        print(json.dumps({"error": f"no table at {args.target}"}))
+        return 1
+    # Pin ONE snapshot for the whole run (r5 jobs review): target read,
+    # change feed, and the reported to_version must resolve the SAME
+    # version — letting each resolve current_version() independently
+    # means a replay commit landing mid-run compares keys changed in a
+    # newer snapshot against a stale target (false discrepancies) and
+    # reports a to_version covering changes no run ever verified (a
+    # silent gap when the next cron chains --changed-since-version from
+    # it). Same pinning rollup_job applies to its refresh.
+    to_version = tbl.current_version()
+    target = tbl.read(version=to_version)
     out: dict = {}
 
     if args.changed_since_version is not None:
@@ -97,9 +109,13 @@ def main() -> int:
             reconcile_incremental,
         )
 
-        changed = tbl.read_changes(args.changed_since_version).select(
-            "conv_id", "turn_idx"
-        ).distinct()
+        changed = tbl.read_changes(
+            args.changed_since_version, to_version
+        ).select("conv_id", "turn_idx").distinct().localCheckpoint()
+        # localCheckpoint: the changed-key set feeds the count below AND
+        # the semi-join inside every downstream action — without it each
+        # action re-executes the CDC diff read (same multi-consumer
+        # materialization dedup_index_job applies to its delta frame).
         # size-based broadcast decision (r3 advice): the count is one
         # cheap job over the already-pruned change read, and above the
         # limit the prune becomes a shuffle semi-join instead of a
@@ -113,7 +129,7 @@ def main() -> int:
         )
         out["incremental"] = {
             "since_version": args.changed_since_version,
-            "to_version": tbl.current_version(),
+            "to_version": to_version,
             "changed_keys": n_changed,
             "broadcast": do_broadcast,
         }
@@ -185,6 +201,12 @@ def main() -> int:
         recon = recon.persist(StorageLevel.DISK_ONLY)
         rollup_df = rollup_conversations(recon).persist(StorageLevel.DISK_ONLY)
     else:
+        # the bare path still has TWO consumers of the recon plan (the
+        # status counts and the conversation rollup) — without a persist
+        # each re-executes the dominant full-outer join (r5 jobs review)
+        from pyspark import StorageLevel
+
+        recon = recon.persist(StorageLevel.DISK_ONLY)
         rollup_df = rollup_conversations(recon)
 
     counts = {r["status"]: r["n"] for r in status_counts(recon).collect()}

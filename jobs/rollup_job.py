@@ -37,8 +37,8 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import shutil
 import sys
+import uuid
 
 META_NAME = "_rollup_meta.json"
 
@@ -65,6 +65,10 @@ def main() -> int:
                     help="incremental refresh from read_changes since the "
                          "rollup's recorded version (falls back to a full "
                          "build when no rollup exists yet)")
+    ap.add_argument("--sweep-grace-secs", type=float, default=300.0,
+                    help="skip sweeping data-v* dirs younger than this "
+                         "(protects an overlapping run's just-written dir "
+                         "and readers mid-scan of the previous version)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -102,7 +106,15 @@ def main() -> int:
     out = {"to_version": to_version, "grains": list(grains),
            "key_cols": list(key_cols)}
     os.makedirs(args.rollup_dir, exist_ok=True)
-    data_dir = os.path.join(args.rollup_dir, f"data-v{to_version:06d}")
+    # unique suffix (r5 jobs review): a REBUILD while the table version
+    # is unchanged would otherwise mode('overwrite') the very dir the
+    # live meta points at — deleting its files before the swap, so a
+    # crash mid-write (or any concurrent reader) breaks the advertised
+    # write-then-swap atomicity
+    data_dir = os.path.join(
+        args.rollup_dir,
+        f"data-v{to_version:06d}-{uuid.uuid4().hex[:8]}",
+    )
 
     if meta is not None:
         from_version = meta["table_version"]
@@ -119,7 +131,10 @@ def main() -> int:
             meta = None
 
     if meta is None:
-        out.setdefault("mode", "build")
+        # "rebuild" (deliberate, prior rollup exists) vs "build" (first
+        # run); the expiry branch above already stamped
+        # "rebuild_expired_base" when the refresh base was expired
+        out.setdefault("mode", "build" if prior_meta is None else "rebuild")
         # pin the read to to_version: a commit landing between
         # current_version() and the read would otherwise leak
         # post-to_version events into a rollup whose meta records
@@ -171,14 +186,16 @@ def main() -> int:
                    "key_cols": list(key_cols), "data_dir": data_dir,
                    "rollup_rows": rows}, f)
     os.replace(meta_path + ".tmp", meta_path)  # atomic pointer swap
-    # sweep EVERY data-v* dir the fresh meta no longer points at — the
-    # prior meta's dir, plus any orphan a crash left between a write
-    # and its pointer swap (r5 review: those accumulate silently)
-    for d in os.listdir(args.rollup_dir):
-        full = os.path.join(args.rollup_dir, d)
-        if (d.startswith("data-v") and os.path.isdir(full)
-                and os.path.abspath(full) != os.path.abspath(data_dir)):
-            shutil.rmtree(full, ignore_errors=True)
+    # sweep data-v* dirs the fresh meta no longer points at — the prior
+    # meta's dir, plus any orphan a crash left between a write and its
+    # pointer swap (r5 review: those accumulate silently); graced and
+    # live-meta-aware, see plans.checkpoint.sweep_stale_data_dirs
+    from etl_reconciliate_spark.plans.checkpoint import (
+        sweep_stale_data_dirs,
+    )
+
+    sweep_stale_data_dirs(args.rollup_dir, meta_path, data_dir,
+                          grace_secs=args.sweep_grace_secs)
     print(json.dumps(out))
     return 0
 

@@ -157,7 +157,8 @@ def test_dedup_index_job_pairs_out_and_orphan_sweep(
     # simulate a crash orphan from a previous attempted run
     os.makedirs(os.path.join(idir, "data-v999999"))
     built = _run(monkeypatch, capsys, "--target", tbl.path,
-                 "--index-dir", idir, "--pairs-out", pdir)
+                 "--index-dir", idir, "--pairs-out", pdir,
+                 "--sweep-grace-secs", "0")
     assert built["mode"] == "build"
     assert built["new_pairs"] == 1  # (c1, c2) are near-dups
     pairs = {(r.doc_a, r.doc_b) for r in spark.read.parquet(pdir).collect()}

@@ -154,8 +154,12 @@ def test_rollup_rebuild_cleans_previous_data_dir(spark, tmp_path, capsys,
     old_meta = json.load(open(f"{rdir}/{rollup_job.META_NAME}"))
     tbl.merge_apply(spark.createDataFrame(
         [(2, "I", "c2", 0, "user", "bye", _ts(1))], BATCH), {"lsn_hi": 2})
-    # rebuild WITHOUT --refresh (e.g. to change grains)
-    _run(monkeypatch, capsys, "--target", tbl.path, "--rollup-dir", rdir,
-         "--grains", "minute,hour")
+    # rebuild WITHOUT --refresh (e.g. to change grains); grace 0 so the
+    # sweep is observable in-test (the default protects overlapping
+    # runs' young dirs)
+    rebuilt = _run(monkeypatch, capsys, "--target", tbl.path,
+                   "--rollup-dir", rdir, "--grains", "minute,hour",
+                   "--sweep-grace-secs", "0")
+    assert rebuilt["mode"] == "rebuild"
     assert not os.path.exists(old_meta["data_dir"])
     assert _rollup_rows(spark, rdir)  # new rollup readable
