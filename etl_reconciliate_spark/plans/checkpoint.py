@@ -74,42 +74,3 @@ class CheckpointManager:
                     # earlier writes ended with a flushed newline.
                     continue
         return out
-
-
-def sweep_stale_data_dirs(root: str, meta_path: str, keep_dir: str,
-                          grace_secs: float = 300.0) -> None:
-    """Remove ``data-v*`` dirs under ``root`` that neither ``keep_dir``
-    nor the CURRENT on-disk meta references, skipping dirs younger than
-    ``grace_secs``.
-
-    Shared by the rollup/index maintenance jobs' write-then-swap
-    pattern (r5 jobs review): an ungraced sweep killed an overlapping
-    run's just-written dir before its pointer swap — the fast run's
-    meta then outlived the slow run's, which ended up pointing at a
-    deleted dir — and yanked files from readers mid-scan of the
-    previous version. Same grace discipline as the table layer's
-    orphan sweep (``TargetTable.expire_snapshots``); re-reading the
-    on-disk meta spares the winner's dir even when another run
-    overtook this one's pointer swap."""
-    import shutil
-
-    live = keep_dir
-    try:
-        with open(meta_path) as f:
-            live = json.load(f).get("data_dir") or keep_dir
-    except (OSError, ValueError):
-        pass
-    keep = {os.path.abspath(keep_dir), os.path.abspath(live)}
-    now = time.time()
-    for d in os.listdir(root):
-        full = os.path.join(root, d)
-        if not (d.startswith("data-v") and os.path.isdir(full)):
-            continue
-        if os.path.abspath(full) in keep:
-            continue
-        try:
-            if now - os.path.getmtime(full) < grace_secs:
-                continue
-        except OSError:
-            continue
-        shutil.rmtree(full, ignore_errors=True)

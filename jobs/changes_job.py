@@ -75,6 +75,27 @@ def main() -> int:
             bootstrap = True
     to_v = args.to_version if args.to_version is not None else table.current_version()
 
+    mode = "bootstrap" if bootstrap else "incremental"
+    if not bootstrap:
+        try:
+            changes = table.read_changes(from_v, to_v)
+        except ValueError as e:
+            if args.cursor_file is None:
+                # an explicit --from-version the caller asked for is
+                # gone — nothing sensible to emit in its place; keep
+                # the one-JSON-line contract instead of a traceback
+                print(json.dumps({
+                    "error": f"from_version {from_v} expired: {e}",
+                }))
+                return 1
+            # the cursor records a version expire_snapshots has since
+            # dropped: the deltas are unrecoverable, so re-snapshot —
+            # the standard CDC recovery when the log no longer reaches
+            # the consumer's position (Debezium's snapshot-on-lost-
+            # binlog). mode tells the consumer to treat the export as a
+            # fresh initial load, not an increment to apply on top.
+            bootstrap = True
+            mode = "bootstrap_expired_cursor"
     if bootstrap:
         from etl_reconciliate_spark.target.table import META_LSN
 
@@ -87,8 +108,6 @@ def main() -> int:
             F.lit("insert").alias(table.CHANGE_TYPE),
             F.col(META_LSN),
         )
-    else:
-        changes = table.read_changes(from_v, to_v)
     out_path = None
     if args.out and to_v > from_v:
         label = "bootstrap" if bootstrap else f"v{from_v:06d}"
@@ -115,6 +134,7 @@ def main() -> int:
         os.replace(tmp, args.cursor_file)
 
     print(json.dumps({
+        "mode": mode,
         "from_version": from_v,
         "to_version": to_v,
         "counts": counts,

@@ -88,10 +88,15 @@ def main() -> int:
     n_decontaminated = n_curated
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark)
+        pre_decontam = curated
         curated = decontaminate(
             curated, bench, min_overlap_frac=args.contamination_frac
         ).persist(StorageLevel.DISK_ONLY)
         n_decontaminated = curated.count()
+        # the count above fully materialized the decontaminated copy —
+        # release the pre-decontamination one now, or two corpus-scale
+        # copies sit on executor disk for the whole split/pack phase
+        pre_decontam.unpersist()
 
     split = split_assign(curated, seed=args.seed)
     # pack WITHIN each (split, shard): a sequence must never span

@@ -75,9 +75,11 @@ def main() -> int:
                          "index's recorded version (falls back to a full "
                          "build when no index exists yet)")
     ap.add_argument("--sweep-grace-secs", type=float, default=300.0,
-                    help="skip sweeping data-v* dirs younger than this "
-                         "(protects an overlapping run's just-written dir "
-                         "and readers mid-scan of the previous version)")
+                    help="a retired data-v* dir is only removed this many "
+                         "seconds after a sweep first marks it stale "
+                         "(protects readers mid-scan of the superseded "
+                         "version and an overlapping run's not-yet-swapped "
+                         "dir); <=0 removes immediately, no protection")
     ap.add_argument("--pairs-out", default=None,
                     help="also write the new near-dup pairs parquet here")
     args = ap.parse_args()
@@ -175,10 +177,22 @@ def main() -> int:
             # file in place while reporting new_pairs=0 — a consumer
             # ingesting --pairs-out after each run would re-ingest the
             # old pairs as this run's output (r5 jobs review; same
-            # stale-file contract the build path already honors)
+            # stale-file contract the build path already honors).
+            # doc_a/doc_b take the TABLE's conv_id type (not a STRING
+            # literal) so the pairs schema is identical across no-op
+            # and real runs — a hardcoded type flips the column type
+            # whenever the table happens not to have moved
+            from pyspark.sql import types as T
+
+            doc_t = tbl.read(version=to_version).schema["conv_id"].dataType
+            empty_schema = T.StructType([
+                T.StructField("doc_a", doc_t),
+                T.StructField("doc_b", doc_t),
+                T.StructField("n_common", T.LongType()),
+                T.StructField("jaccard", T.DoubleType()),
+            ])
             spark.createDataFrame(
-                [], "doc_a STRING, doc_b STRING, n_common BIGINT, "
-                    "jaccard DOUBLE",
+                [], empty_schema
             ).write.mode("overwrite").parquet(args.pairs_out)
             out["pairs_path"] = args.pairs_out
         print(json.dumps(out))
@@ -242,9 +256,9 @@ def main() -> int:
     os.replace(meta_path + ".tmp", meta_path)  # atomic pointer swap
     # sweep data-v* dirs the fresh meta no longer points at — the prior
     # meta's dir, plus any orphan a crash left between a write and its
-    # pointer swap (those accumulate corpus-sized copies); graced and
-    # live-meta-aware, see plans.checkpoint.sweep_stale_data_dirs
-    from etl_reconciliate_spark.plans.checkpoint import (
+    # pointer swap (those accumulate corpus-sized copies); deferred-reap
+    # with a grace window, see target.maintenance.sweep_stale_data_dirs
+    from etl_reconciliate_spark.target.maintenance import (
         sweep_stale_data_dirs,
     )
 

@@ -31,13 +31,7 @@ def _load(spark, target: str | None, parquet: str | None, version=None):
     from etl_reconciliate_spark.target.table import TargetTable
 
     if target is not None:
-        tbl = TargetTable(spark, target)
-        if not tbl.exists():
-            # one-JSON-line contract on a not-yet-replayed target (r5
-            # jobs review; same guard as maintain/rollup/changes)
-            print(json.dumps({"error": f"no table at {target}"}))
-            raise SystemExit(1)
-        return tbl.read(version=version)
+        return TargetTable(spark, target).read(version=version)
     return spark.read.parquet(parquet)
 
 
@@ -82,6 +76,15 @@ def main() -> int:
         column_profile,
         profile_drift,
     )
+    from etl_reconciliate_spark.target.table import TargetTable
+
+    # one-JSON-line contract on a not-yet-replayed target (r5 jobs
+    # review); checked up front for BOTH versioned tables so main()
+    # returns 1 like every sibling job instead of raising out of _load
+    for t in (args.target, args.compare_target):
+        if t is not None and not TargetTable(spark, t).exists():
+            print(json.dumps({"error": f"no table at {t}"}))
+            return 1
 
     cur = _load(spark, args.target, args.parquet)
     cols = args.columns.split(",") if args.columns else None
@@ -92,7 +95,18 @@ def main() -> int:
         return 0
 
     if args.baseline_version is not None:
-        base = _load(spark, args.target, None, version=args.baseline_version)
+        try:
+            base = _load(spark, args.target, None,
+                         version=args.baseline_version)
+        except (FileNotFoundError, ValueError) as e:
+            # an expired (or never-committed) time-travel version —
+            # same one-JSON-line degradation as the CDC jobs' expired
+            # bases; the operator reruns against a retained version
+            print(json.dumps({
+                "error": f"baseline version {args.baseline_version} "
+                         f"unavailable: {e}",
+            }))
+            return 1
         label = f"v{args.baseline_version}"
     else:
         base = _load(spark, args.compare_target, args.compare_parquet)

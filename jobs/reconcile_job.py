@@ -109,30 +109,52 @@ def main() -> int:
             reconcile_incremental,
         )
 
-        changed = tbl.read_changes(
-            args.changed_since_version, to_version
-        ).select("conv_id", "turn_idx").distinct().localCheckpoint()
-        # localCheckpoint: the changed-key set feeds the count below AND
-        # the semi-join inside every downstream action — without it each
-        # action re-executes the CDC diff read (same multi-consumer
-        # materialization dedup_index_job applies to its delta frame).
-        # size-based broadcast decision (r3 advice): the count is one
-        # cheap job over the already-pruned change read, and above the
-        # limit the prune becomes a shuffle semi-join instead of a
-        # driver-collected broadcast
-        n_changed = changed.count()
-        do_broadcast = n_changed <= args.changed_broadcast_limit
-        recon = reconcile_incremental(
-            source, target, changed, broadcast=do_broadcast,
-            n_salts=args.salts, hot_threshold=args.hot_threshold,
-            comparator=args.comparator,
-        )
-        out["incremental"] = {
-            "since_version": args.changed_since_version,
-            "to_version": to_version,
-            "changed_keys": n_changed,
-            "broadcast": do_broadcast,
-        }
+        try:
+            changed = tbl.read_changes(
+                args.changed_since_version, to_version
+            ).select("conv_id", "turn_idx").distinct().localCheckpoint()
+            # localCheckpoint: the changed-key set feeds the count below
+            # AND the semi-join inside every downstream action — without
+            # it each action re-executes the CDC diff read (same
+            # multi-consumer materialization dedup_index_job applies to
+            # its delta frame).
+        except ValueError as e:
+            # the since-version was expired by expire_snapshots: its
+            # deltas are unrecoverable, so degrade to a FULL reconcile
+            # (it covers every key the lost range could have touched)
+            # instead of a traceback — the one-JSON-line contract and
+            # the to_version the next cron chains from both survive
+            # (same self-healing the rollup/index jobs apply as their
+            # rebuild_expired_base path)
+            out["incremental"] = {
+                "since_version": args.changed_since_version,
+                "to_version": to_version,
+                "fallback": "full",
+                "reason": str(e),
+            }
+            recon = reconcile(
+                source, target, n_salts=args.salts,
+                hot_threshold=args.hot_threshold,
+                comparator=args.comparator,
+            )
+        else:
+            # size-based broadcast decision (r3 advice): the count is one
+            # cheap job over the already-pruned change read, and above the
+            # limit the prune becomes a shuffle semi-join instead of a
+            # driver-collected broadcast
+            n_changed = changed.count()
+            do_broadcast = n_changed <= args.changed_broadcast_limit
+            recon = reconcile_incremental(
+                source, target, changed, broadcast=do_broadcast,
+                n_salts=args.salts, hot_threshold=args.hot_threshold,
+                comparator=args.comparator,
+            )
+            out["incremental"] = {
+                "since_version": args.changed_since_version,
+                "to_version": to_version,
+                "changed_keys": n_changed,
+                "broadcast": do_broadcast,
+            }
     elif args.strategy == "checksum":
         from pyspark import StorageLevel
 

@@ -66,9 +66,11 @@ def main() -> int:
                          "rollup's recorded version (falls back to a full "
                          "build when no rollup exists yet)")
     ap.add_argument("--sweep-grace-secs", type=float, default=300.0,
-                    help="skip sweeping data-v* dirs younger than this "
-                         "(protects an overlapping run's just-written dir "
-                         "and readers mid-scan of the previous version)")
+                    help="a retired data-v* dir is only removed this many "
+                         "seconds after a sweep first marks it stale "
+                         "(protects readers mid-scan of the superseded "
+                         "version and an overlapping run's not-yet-swapped "
+                         "dir); <=0 removes immediately, no protection")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -188,9 +190,9 @@ def main() -> int:
     os.replace(meta_path + ".tmp", meta_path)  # atomic pointer swap
     # sweep data-v* dirs the fresh meta no longer points at — the prior
     # meta's dir, plus any orphan a crash left between a write and its
-    # pointer swap (r5 review: those accumulate silently); graced and
-    # live-meta-aware, see plans.checkpoint.sweep_stale_data_dirs
-    from etl_reconciliate_spark.plans.checkpoint import (
+    # pointer swap (r5 review: those accumulate silently); deferred-reap
+    # with a grace window, see target.maintenance.sweep_stale_data_dirs
+    from etl_reconciliate_spark.target.maintenance import (
         sweep_stale_data_dirs,
     )
 

@@ -177,3 +177,48 @@ def test_changes_update_then_delete_nets_to_delete(spark, table):
     table.merge_apply(_batch(spark, [(6, "I", "c7", 0, "z")]), {"lsn_hi": 6})
     table.merge_apply(_batch(spark, [(7, "D", "c7", 0, None)]), {"lsn_hi": 7})
     assert _by_key(table.read_changes(v2)) == {}
+
+
+def test_changes_job_expired_cursor_resnapshots(spark, table, tmp_path,
+                                                capsys, monkeypatch):
+    """A cursor recording a version expire_snapshots has dropped must
+    re-snapshot (mode flags the fresh initial load so the consumer does
+    not apply it as an increment) and advance the cursor — not print a
+    ValueError traceback; an explicit --from-version at an expired
+    version errors cleanly instead (there is nothing sensible to emit
+    in its place)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import changes_job
+    finally:
+        sys.path.pop(0)
+
+    cursor = str(tmp_path / "cursor")
+    out = str(tmp_path / "changes")
+    expired_v = table.current_version()
+    with open(cursor, "w") as f:
+        f.write(str(expired_v))
+    table.merge_apply(_batch(spark, [(4, "I", "c4", 0, "d")]), {"lsn_hi": 4})
+    table.merge_apply(_batch(spark, [(5, "I", "c5", 0, "e")]), {"lsn_hi": 5})
+    table.expire_snapshots(keep_last=1)
+
+    monkeypatch.setattr(sys, "argv", [
+        "changes_job.py", "--target", table.path,
+        "--cursor-file", cursor, "--out", out,
+    ])
+    assert changes_job.main() == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["mode"] == "bootstrap_expired_cursor"
+    assert got["counts"] == {"insert": 5}  # full live state re-exported
+    assert int(open(cursor).read()) == table.current_version()
+
+    monkeypatch.setattr(sys, "argv", [
+        "changes_job.py", "--target", table.path,
+        "--from-version", str(expired_v),
+    ])
+    assert changes_job.main() == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "expired" in err["error"]

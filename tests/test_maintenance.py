@@ -1,0 +1,101 @@
+"""Deferred-reap GC of the maintenance jobs' write-then-swap data dirs
+(``target.maintenance.sweep_stale_data_dirs``).
+
+Pure-filesystem tests — no SparkSession. The contract under test: a
+stale ``data-v*`` dir is MARKED retired on first sighting and removed
+only by a later sweep once the mark is older than the grace, so that
+(a) readers mid-scan of the just-superseded version get a full grace
+window measured from retirement (not from the dir's write mtime), and
+(b) an overlapping run whose write→verify→swap window exceeds the grace
+is never deleted before its pointer swap lands.
+"""
+
+import json
+import os
+import time
+
+from etl_reconciliate_spark.target.maintenance import (
+    RETIRED_SUFFIX,
+    sweep_stale_data_dirs,
+)
+
+
+def _setup(tmp_path):
+    root = str(tmp_path)
+    old = os.path.join(root, "data-v000001-aaaa")
+    new = os.path.join(root, "data-v000002-bbbb")
+    os.makedirs(old)
+    os.makedirs(new)
+    meta = os.path.join(root, "_meta.json")
+    with open(meta, "w") as f:
+        json.dump({"data_dir": new}, f)
+    return root, meta, old, new
+
+
+def test_sweep_marks_then_reaps_after_grace(tmp_path):
+    root, meta, old, new = _setup(tmp_path)
+    sweep_stale_data_dirs(root, meta, new, grace_secs=60)
+    # first sweep only MARKS — readers mid-scan of the superseded
+    # version keep their files no matter how old the dir's write is
+    assert os.path.isdir(old)
+    sent = old + RETIRED_SUFFIX
+    assert os.path.exists(sent)
+    first_mtime = os.path.getmtime(sent)
+    # an immediate second sweep neither resets the clock nor removes
+    sweep_stale_data_dirs(root, meta, new, grace_secs=60)
+    assert os.path.isdir(old)
+    assert os.path.getmtime(sent) == first_mtime
+    # once the retirement mark is older than the grace, reap dir + mark
+    os.utime(sent, (first_mtime - 120, first_mtime - 120))
+    sweep_stale_data_dirs(root, meta, new, grace_secs=60)
+    assert not os.path.exists(old) and not os.path.exists(sent)
+    assert os.path.isdir(new)
+
+
+def test_sweep_zero_grace_removes_immediately(tmp_path):
+    root, meta, old, new = _setup(tmp_path)
+    sweep_stale_data_dirs(root, meta, new, grace_secs=0)
+    assert not os.path.exists(old)
+    assert os.path.isdir(new)
+
+
+def test_sweep_unmarks_dir_that_became_live_again(tmp_path):
+    # a slower overlapping run's dir was marked stale by a fast run,
+    # then the slow run's pointer swap landed: the slow run's own final
+    # sweep must CLEAR the mark, otherwise the next winner's sweep
+    # reaps a just-superseded dir on an already-expired clock
+    root, meta, old, new = _setup(tmp_path)
+    sent = old + RETIRED_SUFFIX
+    open(sent, "w").close()
+    past = time.time() - 999
+    os.utime(sent, (past, past))
+    with open(meta, "w") as f:
+        json.dump({"data_dir": old}, f)  # the slow run's swap
+    sweep_stale_data_dirs(root, meta, old, grace_secs=60)
+    assert os.path.isdir(old) and not os.path.exists(sent)
+
+
+def test_sweep_protects_not_yet_swapped_overlapping_dir(tmp_path):
+    # fast run sweeps while a slow run has WRITTEN data-v3 but not yet
+    # swapped its meta: the dir is only marked; once the slow swap
+    # lands, the live-meta re-read keeps the dir and clears the mark
+    root, meta, old, new = _setup(tmp_path)
+    slow = os.path.join(root, "data-v000003-cccc")
+    os.makedirs(slow)
+    sweep_stale_data_dirs(root, meta, new, grace_secs=300)
+    assert os.path.isdir(slow) and os.path.exists(slow + RETIRED_SUFFIX)
+    with open(meta, "w") as f:
+        json.dump({"data_dir": slow}, f)
+    sweep_stale_data_dirs(root, meta, slow, grace_secs=300)
+    assert os.path.isdir(slow)
+    assert not os.path.exists(slow + RETIRED_SUFFIX)
+
+
+def test_sweep_removes_orphan_sentinel(tmp_path):
+    # a crash between rmtree and sentinel removal leaves a sentinel
+    # with no dir — cleaned up instead of accumulating forever
+    root, meta, old, new = _setup(tmp_path)
+    orphan = os.path.join(root, "data-v000009-dddd" + RETIRED_SUFFIX)
+    open(orphan, "w").close()
+    sweep_stale_data_dirs(root, meta, new, grace_secs=60)
+    assert not os.path.exists(orphan)

@@ -155,3 +155,53 @@ def test_profile_percentiles_exact_and_approx(spark):
     assert abs(approx["v"]["p_lo"] - 50.0) <= 1.0
     with pytest.raises(ValueError, match="percentile_mode"):
         column_profile(df, percentile_mode="bogus")
+
+
+def test_profile_job_missing_table_and_expired_baseline(spark, tmp_path,
+                                                        capsys, monkeypatch):
+    """A not-yet-replayed target and an expired time-travel baseline
+    must both keep the one-JSON-line contract with main() returning 1
+    — the same degradation shape as every sibling job (r5 review: the
+    first guard raised SystemExit out of the loader instead)."""
+    import json
+    import sys
+
+    from pyspark.sql import types as T
+
+    from etl_reconciliate_spark.target.table import TargetTable
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import profile_job
+    finally:
+        sys.path.pop(0)
+
+    monkeypatch.setattr(sys, "argv", [
+        "profile_job.py", "--target", str(tmp_path / "nope"),
+    ])
+    assert profile_job.main() == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "no table" in err["error"]
+
+    tbl = TargetTable(spark, str(tmp_path / "t2"), n_buckets=2)
+    tbl.init(T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ]))
+    batch = "lsn BIGINT, op STRING, conv_id STRING, turn_idx INT, text STRING"
+    tbl.merge_apply(
+        spark.createDataFrame([(1, "I", "c1", 0, "a")], batch), {"lsn_hi": 1})
+    v1 = tbl.current_version()
+    tbl.merge_apply(
+        spark.createDataFrame([(2, "I", "c2", 0, "b")], batch), {"lsn_hi": 2})
+    tbl.merge_apply(
+        spark.createDataFrame([(3, "I", "c3", 0, "c")], batch), {"lsn_hi": 3})
+    tbl.expire_snapshots(keep_last=1)
+    monkeypatch.setattr(sys, "argv", [
+        "profile_job.py", "--target", tbl.path,
+        "--baseline-version", str(v1),
+    ])
+    assert profile_job.main() == 1
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "unavailable" in err["error"]

@@ -297,3 +297,49 @@ def test_salted_chunked_reexpansion(spark):
         src, tgt, ["conv_id", "turn_idx"], n_salts=1, hot_threshold=2
     )
     assert salted.count() == 6000 * 2
+
+
+def test_reconcile_job_expired_since_falls_back_to_full(spark, tmp_path,
+                                                        capsys, monkeypatch):
+    """--changed-since-version pointing at an expired snapshot must
+    degrade to a FULL reconcile with one JSON line (fallback flagged,
+    to_version still reported so the cron chain survives), not die in
+    a ValueError traceback (r5 review of the snapshot-pinning change)."""
+    import json
+    import sys
+
+    from etl_reconciliate_spark.schemas import CHANGELOG_SCHEMA
+    from etl_reconciliate_spark.target.table import TargetTable
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import reconcile_job
+    finally:
+        sys.path.pop(0)
+
+    ts = datetime.datetime(2026, 1, 1)
+    t = TargetTable(spark, str(tmp_path / "tbl"), mode="mor")
+    t.init(TRANSCRIPTS_SCHEMA)
+    for lsn, conv, txt in ((1, "a", "one"), (2, "b", "two"), (3, "c", "three")):
+        t.merge_apply(
+            spark.createDataFrame(
+                [(lsn, "I", conv, 0, "user", txt, None, ts)],
+                schema=CHANGELOG_SCHEMA,
+            ),
+            {"lsn_hi": lsn},
+        )
+    v1 = 1
+    t.expire_snapshots(keep_last=1)
+    src = str(tmp_path / "src")
+    t.read().write.parquet(src)
+
+    monkeypatch.setattr(sys, "argv", [
+        "reconcile_job.py", "--source", src, "--source-kind", "table",
+        "--target", t.path, "--changed-since-version", str(v1),
+    ])
+    assert reconcile_job.main() == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["incremental"]["fallback"] == "full"
+    assert got["incremental"]["to_version"] == t.current_version()
+    assert got["status_counts"] == {"MATCH": 3}
+    assert got["total"] == 3
