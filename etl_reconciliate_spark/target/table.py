@@ -83,6 +83,20 @@ class SchemaConflictError(RuntimeError):
     a safe widening promotion."""
 
 
+class SnapshotExpiredError(ValueError):
+    """A version required by the requested read was dropped by
+    ``expire_snapshots``.
+
+    Subclasses ``ValueError`` for backward compatibility, but exists as
+    its own type because the recovery differs from a plain bad-argument
+    ``ValueError``: an expired base means the deltas are unrecoverable
+    and the caller should re-snapshot / rebuild (the jobs'
+    ``bootstrap_expired_cursor`` / ``rebuild_expired_base`` paths),
+    whereas ``from_version > to_version`` is a caller range error that
+    must fail loudly — conflating the two let a bounded export rewind a
+    consumer cursor (r5 jobs review)."""
+
+
 def _conform(df: DataFrame, want: T.StructType) -> DataFrame:
     """Pad columns missing from ``df`` with typed nulls and cast columns
     whose type is narrower than ``want``'s (widening evolution).
@@ -503,7 +517,10 @@ class TargetTable:
 
         Both versions' metadata must still be retained
         (``expire_snapshots`` removes old versions); otherwise raises
-        ``ValueError``.
+        ``SnapshotExpiredError`` (a ``ValueError`` subclass — distinct
+        from the plain ``ValueError`` a ``from_version > to_version``
+        range error raises, so callers can bootstrap/rebuild on expiry
+        without swallowing range errors).
         """
         if to_version is None:
             to_version = self.current_version()
@@ -515,7 +532,7 @@ class TargetTable:
             m_from = self.metadata(from_version)
             m_to = self.metadata(to_version)
         except FileNotFoundError as e:
-            raise ValueError(
+            raise SnapshotExpiredError(
                 f"version metadata missing (expired by expire_snapshots?): {e}"
             ) from None
         want = T.StructType.fromJson(m_to["schema"])

@@ -77,9 +77,11 @@ def main() -> int:
 
     mode = "bootstrap" if bootstrap else "incremental"
     if not bootstrap:
+        from etl_reconciliate_spark.target.table import SnapshotExpiredError
+
         try:
             changes = table.read_changes(from_v, to_v)
-        except ValueError as e:
+        except SnapshotExpiredError as e:
             if args.cursor_file is None:
                 # an explicit --from-version the caller asked for is
                 # gone — nothing sensible to emit in its place; keep
@@ -96,6 +98,18 @@ def main() -> int:
             # fresh initial load, not an increment to apply on top.
             bootstrap = True
             mode = "bootstrap_expired_cursor"
+        except ValueError as e:
+            # NOT expiry: a range error (cursor/--from-version above
+            # --to-version). Catching it as expiry would emit a bogus
+            # bootstrap AND — on the cursor path — rewind the cursor
+            # below its recorded position, re-delivering the range on
+            # the next run (r5 review of the expiry-degradation batch).
+            # Fail loudly with the one-JSON-line contract, cursor intact.
+            print(json.dumps({
+                "error": f"invalid version range "
+                         f"v{from_v}..v{to_v}: {e}",
+            }))
+            return 2
     if bootstrap:
         from etl_reconciliate_spark.target.table import META_LSN
 

@@ -127,6 +127,18 @@ def main() -> int:
 
     out = {"to_version": to_version, **params}
     os.makedirs(args.index_dir, exist_ok=True)
+    from etl_reconciliate_spark.target.maintenance import (
+        swap_meta_pointer,
+        sweep_stale_data_dirs,
+    )
+
+    # start-of-run sweep (r5 review): a crash-looping build otherwise
+    # leaves one uniquely-named corpus-sized orphan PER attempt, only
+    # collected after two later SUCCESSFUL runs — sweeping up front
+    # marks the previous attempt's orphan and reaps the one before, so
+    # the loop carries at most ~two partial dirs regardless of length
+    sweep_stale_data_dirs(args.index_dir, meta_path,
+                          grace_secs=args.sweep_grace_secs)
     # unique suffix (r5 jobs review): a REBUILD while the table version
     # is unchanged would otherwise mode('overwrite') the very dir the
     # live meta points at — destroying the index in place before the
@@ -181,10 +193,16 @@ def main() -> int:
             # doc_a/doc_b take the TABLE's conv_id type (not a STRING
             # literal) so the pairs schema is identical across no-op
             # and real runs — a hardcoded type flips the column type
-            # whenever the table happens not to have moved
+            # whenever the table happens not to have moved. The type
+            # comes straight from the version's recorded schema dict:
+            # building a full versioned read PLAN just to ask one
+            # column's type is pure metadata-resolution tax on every
+            # no-op cron tick (r5 review)
             from pyspark.sql import types as T
 
-            doc_t = tbl.read(version=to_version).schema["conv_id"].dataType
+            doc_t = T.StructType.fromJson(
+                tbl.metadata(to_version)["schema"]
+            )["conv_id"].dataType
             empty_schema = T.StructType([
                 T.StructField("doc_a", doc_t),
                 T.StructField("doc_b", doc_t),
@@ -250,18 +268,16 @@ def main() -> int:
             out["pairs_path"] = args.pairs_out
         else:
             out["new_pairs"] = new_pairs.count()
-    with open(meta_path + ".tmp", "w") as f:
-        json.dump({"table_version": to_version, **params,
-                   "data_dir": data_dir, "index_rows": rows}, f)
-    os.replace(meta_path + ".tmp", meta_path)  # atomic pointer swap
+    # atomic pointer swap + swap-time retirement stamp on the dir this
+    # swap supersedes (the true grace clock; see target.maintenance)
+    swap_meta_pointer(meta_path, {
+        "table_version": to_version, **params,
+        "data_dir": data_dir, "index_rows": rows,
+    })
     # sweep data-v* dirs the fresh meta no longer points at — the prior
     # meta's dir, plus any orphan a crash left between a write and its
     # pointer swap (those accumulate corpus-sized copies); deferred-reap
     # with a grace window, see target.maintenance.sweep_stale_data_dirs
-    from etl_reconciliate_spark.target.maintenance import (
-        sweep_stale_data_dirs,
-    )
-
     sweep_stale_data_dirs(args.index_dir, meta_path, data_dir,
                           grace_secs=args.sweep_grace_secs)
     print(json.dumps(out))

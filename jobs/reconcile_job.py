@@ -109,6 +109,8 @@ def main() -> int:
             reconcile_incremental,
         )
 
+        from etl_reconciliate_spark.target.table import SnapshotExpiredError
+
         try:
             changed = tbl.read_changes(
                 args.changed_since_version, to_version
@@ -119,6 +121,18 @@ def main() -> int:
             # multi-consumer materialization dedup_index_job applies to
             # its delta frame).
         except ValueError as e:
+            if not isinstance(e, SnapshotExpiredError):
+                # a RANGE error (--changed-since-version above the
+                # pinned to_version), not expiry: a silent full-recon
+                # fallback would mask the caller's bad chaining input —
+                # fail loudly, one-JSON-line contract (r5 review of the
+                # expiry-degradation batch)
+                print(json.dumps({
+                    "error": f"invalid --changed-since-version "
+                             f"{args.changed_since_version} for "
+                             f"to_version {to_version}: {e}",
+                }))
+                return 2
             # the since-version was expired by expire_snapshots: its
             # deltas are unrecoverable, so degrade to a FULL reconcile
             # (it covers every key the lost range could have touched)

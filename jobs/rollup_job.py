@@ -108,6 +108,18 @@ def main() -> int:
     out = {"to_version": to_version, "grains": list(grains),
            "key_cols": list(key_cols)}
     os.makedirs(args.rollup_dir, exist_ok=True)
+    from etl_reconciliate_spark.target.maintenance import (
+        swap_meta_pointer,
+        sweep_stale_data_dirs,
+    )
+
+    # start-of-run sweep (r5 review): a crash-looping build otherwise
+    # leaves one uniquely-named corpus-sized orphan PER attempt, only
+    # collected after two later SUCCESSFUL runs — sweeping up front
+    # marks the previous attempt's orphan and reaps the one before, so
+    # the loop carries at most ~two partial dirs regardless of length
+    sweep_stale_data_dirs(args.rollup_dir, meta_path,
+                          grace_secs=args.sweep_grace_secs)
     # unique suffix (r5 jobs review): a REBUILD while the table version
     # is unchanged would otherwise mode('overwrite') the very dir the
     # live meta points at — deleting its files before the swap, so a
@@ -183,19 +195,17 @@ def main() -> int:
 
     rows = spark.read.parquet(data_dir).count()
     out["rollup_rows"] = rows
-    with open(meta_path + ".tmp", "w") as f:
-        json.dump({"table_version": to_version, "grains": list(grains),
-                   "key_cols": list(key_cols), "data_dir": data_dir,
-                   "rollup_rows": rows}, f)
-    os.replace(meta_path + ".tmp", meta_path)  # atomic pointer swap
+    # atomic pointer swap + swap-time retirement stamp on the dir this
+    # swap supersedes (the true grace clock; see target.maintenance)
+    swap_meta_pointer(meta_path, {
+        "table_version": to_version, "grains": list(grains),
+        "key_cols": list(key_cols), "data_dir": data_dir,
+        "rollup_rows": rows,
+    })
     # sweep data-v* dirs the fresh meta no longer points at — the prior
     # meta's dir, plus any orphan a crash left between a write and its
     # pointer swap (r5 review: those accumulate silently); deferred-reap
     # with a grace window, see target.maintenance.sweep_stale_data_dirs
-    from etl_reconciliate_spark.target.maintenance import (
-        sweep_stale_data_dirs,
-    )
-
     sweep_stale_data_dirs(args.rollup_dir, meta_path, data_dir,
                           grace_secs=args.sweep_grace_secs)
     print(json.dumps(out))

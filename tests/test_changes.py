@@ -121,11 +121,18 @@ def test_changes_schema_evolution_in_range(spark, table):
 
 
 def test_changes_validation(spark, table):
+    from etl_reconciliate_spark.target.table import SnapshotExpiredError
+
     v = table.current_version()
     assert table.read_changes(v, v).count() == 0
-    with pytest.raises(ValueError, match="from_version"):
+    # a RANGE error is a plain ValueError — NOT SnapshotExpiredError, so
+    # the jobs' expiry-degradation paths cannot misread it as expiry
+    # (which would rewind a consumer cursor / mislabel a bootstrap)
+    with pytest.raises(ValueError, match="from_version") as ei:
         table.read_changes(v + 1, v)
-    with pytest.raises(ValueError, match="metadata missing"):
+    assert not isinstance(ei.value, SnapshotExpiredError)
+    # a missing base version IS the distinct expiry type
+    with pytest.raises(SnapshotExpiredError, match="metadata missing"):
         table.read_changes(0, 999)
 
 
@@ -222,3 +229,34 @@ def test_changes_job_expired_cursor_resnapshots(spark, table, tmp_path,
     assert changes_job.main() == 1
     err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "expired" in err["error"]
+
+
+def test_changes_job_range_error_is_not_expiry(spark, table, tmp_path,
+                                               capsys, monkeypatch):
+    """A cursor ABOVE a bounded --to-version is a caller range error:
+    it must fail loudly with the cursor intact — misreading it as an
+    expired cursor would emit a bogus bootstrap and REWIND the cursor
+    below its recorded position, re-delivering the range next run (r5
+    review of the expiry-degradation batch)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import changes_job
+    finally:
+        sys.path.pop(0)
+
+    cursor = str(tmp_path / "cursor")
+    cur_v = table.current_version()
+    with open(cursor, "w") as f:
+        f.write(str(cur_v))
+    monkeypatch.setattr(sys, "argv", [
+        "changes_job.py", "--target", table.path,
+        "--cursor-file", cursor, "--to-version", str(cur_v - 1),
+        "--out", str(tmp_path / "changes"),
+    ])
+    assert changes_job.main() == 2
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "invalid version range" in err["error"]
+    assert int(open(cursor).read()) == cur_v  # cursor NOT rewound

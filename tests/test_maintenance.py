@@ -16,6 +16,7 @@ import time
 
 from etl_reconciliate_spark.target.maintenance import (
     RETIRED_SUFFIX,
+    swap_meta_pointer,
     sweep_stale_data_dirs,
 )
 
@@ -89,6 +90,72 @@ def test_sweep_protects_not_yet_swapped_overlapping_dir(tmp_path):
     sweep_stale_data_dirs(root, meta, slow, grace_secs=300)
     assert os.path.isdir(slow)
     assert not os.path.exists(slow + RETIRED_SUFFIX)
+
+
+def test_swap_marks_superseded_dir_at_swap_time(tmp_path):
+    # the swap is the one event that knows the true retirement instant:
+    # publishing a new pointer must stamp the sentinel of the dir it
+    # supersedes, so the grace clock starts at retirement even if no
+    # sweep ever discovered the dir as stale
+    root, meta, old, new = _setup(tmp_path)
+    with open(meta, "w") as f:
+        json.dump({"data_dir": old}, f)  # old is live
+    swap_meta_pointer(meta, {"data_dir": new})
+    assert json.load(open(meta))["data_dir"] == new
+    sent = old + RETIRED_SUFFIX
+    assert os.path.exists(sent)
+    assert time.time() - os.path.getmtime(sent) < 30
+    # within the grace the superseded dir survives the sweep
+    sweep_stale_data_dirs(root, meta, new, grace_secs=300)
+    assert os.path.isdir(old)
+
+
+def test_swap_resets_bogus_aged_mark_on_live_dir(tmp_path):
+    # the r5 review race: a concurrent sweep's discovery mark landed on
+    # a dir AFTER its owner's swap made it live (and after that owner's
+    # final sweep, so nothing cleared it). The mark ages on the live
+    # dir; when a later run supersedes it, a discovery-only design would
+    # reap with ZERO reader grace. The swap-time re-stamp must reset the
+    # clock to the true retirement instant.
+    root, meta, old, new = _setup(tmp_path)
+    with open(meta, "w") as f:
+        json.dump({"data_dir": old}, f)  # old is live…
+    sent = old + RETIRED_SUFFIX
+    open(sent, "w").close()  # …but carries a bogus aged mark
+    past = time.time() - 999
+    os.utime(sent, (past, past))
+    swap_meta_pointer(meta, {"data_dir": new})  # supersede old NOW
+    assert time.time() - os.path.getmtime(sent) < 30
+    sweep_stale_data_dirs(root, meta, new, grace_secs=300)
+    assert os.path.isdir(old)  # full grace from retirement, not mark age
+
+
+def test_swap_first_publish_marks_nothing(tmp_path):
+    root = str(tmp_path)
+    new = os.path.join(root, "data-v000001-aaaa")
+    os.makedirs(new)
+    meta = os.path.join(root, "_meta.json")
+    swap_meta_pointer(meta, {"data_dir": new})
+    assert json.load(open(meta))["data_dir"] == new
+    assert not os.path.exists(new + RETIRED_SUFFIX)
+    assert not any(
+        p.endswith(".tmp") or ".tmp-" in p for p in os.listdir(root)
+    )
+
+
+def test_start_of_run_sweep_without_keep_dir(tmp_path):
+    # jobs sweep BEFORE building (keep_dir=None): crash orphans from a
+    # previous attempt get marked/reaped while the live dir survives —
+    # this is what bounds a crash-looping build's disk footprint
+    root, meta, old, new = _setup(tmp_path)
+    sweep_stale_data_dirs(root, meta, grace_secs=300)
+    assert os.path.isdir(new) and not os.path.exists(new + RETIRED_SUFFIX)
+    sent = old + RETIRED_SUFFIX
+    assert os.path.isdir(old) and os.path.exists(sent)
+    past = time.time() - 999
+    os.utime(sent, (past, past))
+    sweep_stale_data_dirs(root, meta, grace_secs=300)
+    assert not os.path.exists(old) and not os.path.exists(sent)
 
 
 def test_sweep_removes_orphan_sentinel(tmp_path):

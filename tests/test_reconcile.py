@@ -343,3 +343,16 @@ def test_reconcile_job_expired_since_falls_back_to_full(spark, tmp_path,
     assert got["incremental"]["to_version"] == t.current_version()
     assert got["status_counts"] == {"MATCH": 3}
     assert got["total"] == 3
+
+    # a RANGE error (since-version above the pinned to_version) is a
+    # caller mistake, not expiry — it must fail loudly (rc 2, one JSON
+    # line), not silently degrade to a full reconcile that masks the
+    # bad chaining input (r5 review of the expiry-degradation batch)
+    monkeypatch.setattr(sys, "argv", [
+        "reconcile_job.py", "--source", src, "--source-kind", "table",
+        "--target", t.path,
+        "--changed-since-version", str(t.current_version() + 1),
+    ])
+    assert reconcile_job.main() == 2
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "invalid --changed-since-version" in err["error"]
