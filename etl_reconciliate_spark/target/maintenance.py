@@ -11,13 +11,104 @@ half (snapshot retention) lives.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
 import time
 import uuid
 
+try:
+    import fcntl
+except ImportError:  # pragma: no cover - non-POSIX
+    fcntl = None
+
 RETIRED_SUFFIX = ".retired"
+BUILDING_SUFFIX = ".building"
+
+# a meta-swap temp or an unlocked build claim younger than this is never
+# touched, even at grace_secs<=0 — it may belong to a swap/build that is
+# milliseconds from completing (deleting a racer's tmp between its write
+# and its os.replace would crash the racer)
+_MIN_LITTER_AGE_SECS = 60.0
+
+
+def _flock_probe(fd: int) -> str:
+    """Non-blocking exclusive flock on ``fd`` — the writer-liveness
+    probe (same contract as ``table._try_flock``, duplicated so this
+    module stays importable without pyspark): ``"acquired"`` (lock now
+    held by us until the fd closes), ``"held"`` (a live process owns
+    it), ``"unsupported"`` (no advisory locks here)."""
+    if fcntl is None:
+        return "unsupported"
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        return "acquired"
+    except OSError as e:
+        import errno
+
+        if e.errno in (errno.EACCES, errno.EAGAIN, errno.EWOULDBLOCK):
+            return "held"
+        return "unsupported"
+
+
+def _claim_held(claim_path: str) -> bool:
+    """True iff a LIVE process holds the flock on ``claim_path``.
+
+    A missing claim, an acquirable lock (crashed writer — the kernel
+    released it), or no flock support all return False; the probe fd is
+    closed immediately so an acquired probe lock is released at once.
+    """
+    try:
+        fd = os.open(claim_path, os.O_RDONLY)
+    except OSError:
+        return False
+    try:
+        return _flock_probe(fd) == "held"
+    finally:
+        os.close(fd)
+
+
+def claim_build_dir(data_dir: str) -> int | None:
+    """Advertise an in-flight build of ``data_dir``: create a claim file
+    beside it and hold a kernel flock on it until release (or process
+    death — the kernel drops the lock with the process, which is what
+    lets sweeps distinguish a crashed attempt's orphan from a LIVE
+    slower build).
+
+    Call BEFORE the first byte of the build is written; keep the
+    returned fd open until ``release_build_claim``. Without a live
+    claim, a build slower than the sweep grace can be marked by one
+    overlapping run's start-of-run sweep and reaped mid-write by the
+    next (r5 third review — the pre-claim design only protected an
+    in-flight dir for as long as no two competing runs completed).
+    Returns ``None`` when the claim cannot be created or locked; the
+    build proceeds with grace-only protection (the pre-claim behavior).
+    """
+    claim = data_dir + BUILDING_SUFFIX
+    try:
+        fd = os.open(claim, os.O_RDWR | os.O_CREAT, 0o644)
+    except OSError:
+        return None
+    if _flock_probe(fd) != "acquired":
+        os.close(fd)
+        return None
+    return fd
+
+
+def release_build_claim(fd: int | None, data_dir: str) -> None:
+    """Drop the build claim taken by ``claim_build_dir`` (after the
+    pointer swap has made the dir live — the keep-set protects it from
+    then on)."""
+    try:
+        os.remove(data_dir + BUILDING_SUFFIX)
+    except OSError:
+        pass
+    if fd is not None:
+        try:
+            os.close(fd)
+        except OSError:
+            pass
 
 
 def mark_retired(data_dir: str) -> None:
@@ -69,9 +160,18 @@ def swap_meta_pointer(meta_path: str, meta: dict) -> None:
     except (OSError, ValueError):
         pass
     tmp = f"{meta_path}.tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, meta_path)
+    try:
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, meta_path)
+    except BaseException:
+        # don't leave the unique temp behind on a failed swap (ENOSPC,
+        # interrupt) — SIGKILL litter is collected by the sweep instead
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
     new_dir = meta.get("data_dir")
     if prior_dir and (
         not new_dir
@@ -124,8 +224,17 @@ def sweep_stale_data_dirs(root: str, meta_path: str,
     corpus-sized orphan per attempt unboundedly (each attempt marks its
     predecessor's orphan and reaps the one before, r5 review).
 
+    An OVERLAPPING run's in-flight, not-yet-swapped dir is recognized by
+    its live ``.building`` flock claim (``claim_build_dir``) and never
+    marked or removed, at any grace — without the claim, a build slower
+    than the grace would be marked by one competing start-of-run sweep
+    and reaped mid-write by the next (r5 third review). A claim whose
+    lock is free is a crashed attempt: its dir takes the normal
+    mark→grace→reap path and the claim file is collected with the dir.
+
     ``grace_secs <= 0`` reverts to single-pass immediate removal (tests
-    and manual cleanup; no reader/overlap protection).
+    and manual cleanup; no reader/overlap protection beyond live
+    claims).
     """
     live = keep_dir
     try:
@@ -137,6 +246,16 @@ def sweep_stale_data_dirs(root: str, meta_path: str,
         os.path.abspath(d) for d in (keep_dir, live) if d
     }
     now = time.time()
+    # collect crashed swaps' unique meta temps (SIGKILL between write
+    # and replace — swap_meta_pointer unlinks on ordinary failure); an
+    # age floor keeps a racing swap's ms-lived temp safe even at grace 0
+    for tmp in glob.glob(glob.escape(meta_path) + ".tmp-*"):
+        try:
+            if now - os.path.getmtime(tmp) > max(grace_secs,
+                                                 _MIN_LITTER_AGE_SECS):
+                os.remove(tmp)
+        except OSError:
+            pass
     for d in sorted(os.listdir(root)):
         full = os.path.join(root, d)
         if d.startswith("data-v") and d.endswith(RETIRED_SUFFIX):
@@ -145,6 +264,19 @@ def sweep_stale_data_dirs(root: str, meta_path: str,
             if not os.path.isdir(full[: -len(RETIRED_SUFFIX)]):
                 try:
                     os.remove(full)
+                except OSError:
+                    pass
+            continue
+        if d.startswith("data-v") and d.endswith(BUILDING_SUFFIX):
+            # claim whose dir never appeared (crash before the first
+            # write) — reap once the lock is free and the claim is old
+            # enough to rule out a writer between claim and first byte
+            if (not os.path.isdir(full[: -len(BUILDING_SUFFIX)])
+                    and not _claim_held(full)):
+                try:
+                    if now - os.path.getmtime(full) > max(
+                            grace_secs, _MIN_LITTER_AGE_SECS):
+                        os.remove(full)
                 except OSError:
                     pass
             continue
@@ -159,12 +291,22 @@ def sweep_stale_data_dirs(root: str, meta_path: str,
             except OSError:
                 pass
             continue
-        if grace_secs <= 0:
-            shutil.rmtree(full, ignore_errors=True)
+        if _claim_held(full + BUILDING_SUFFIX):
+            # an overlapping run is STILL WRITING this dir (its claim
+            # flock is held by a live process) — not ours to touch, and
+            # clear any mark an earlier claimless sweep may have left
             try:
                 os.remove(sentinel)
             except OSError:
                 pass
+            continue
+        if grace_secs <= 0:
+            shutil.rmtree(full, ignore_errors=True)
+            for litter in (sentinel, full + BUILDING_SUFFIX):
+                try:
+                    os.remove(litter)
+                except OSError:
+                    pass
             continue
         try:
             retired_age = now - os.path.getmtime(sentinel)
@@ -191,7 +333,8 @@ def sweep_stale_data_dirs(root: str, meta_path: str,
         if retired_age < grace_secs:
             continue
         shutil.rmtree(full, ignore_errors=True)
-        try:
-            os.remove(sentinel)
-        except OSError:
-            pass
+        for litter in (sentinel, full + BUILDING_SUFFIX):
+            try:
+                os.remove(litter)
+            except OSError:
+                pass

@@ -74,6 +74,21 @@ def main() -> int:
         else:
             bootstrap = True
     to_v = args.to_version if args.to_version is not None else table.current_version()
+    if args.to_version is not None:
+        # validate the TO side up front: a to_version that was never
+        # committed (operator typo, table rollback) would otherwise
+        # surface as SnapshotExpiredError from read_changes and be
+        # misread as an expired CURSOR — triggering a bootstrap read at
+        # the nonexistent version that dies in a FileNotFoundError
+        # traceback (r5 review). Caller error → loud, cursor intact.
+        try:
+            table.metadata(to_v)
+        except FileNotFoundError as e:
+            print(json.dumps({
+                "error": f"to_version {to_v} is not a committed, "
+                         f"retained version: {e}",
+            }))
+            return 2
 
     mode = "bootstrap" if bootstrap else "incremental"
     if not bootstrap:

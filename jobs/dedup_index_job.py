@@ -120,14 +120,18 @@ def main() -> int:
                               "--refresh"}))
             return 1
         try:
-            tbl.metadata(meta["table_version"])
+            # keep the dict: the no-op branch reads the schema off it
+            base_meta = tbl.metadata(meta["table_version"])
         except FileNotFoundError:
             meta = None  # recorded snapshot expired → full rebuild
             expired = True
+            base_meta = None
 
     out = {"to_version": to_version, **params}
     os.makedirs(args.index_dir, exist_ok=True)
     from etl_reconciliate_spark.target.maintenance import (
+        claim_build_dir,
+        release_build_claim,
         swap_meta_pointer,
         sweep_stale_data_dirs,
     )
@@ -147,6 +151,12 @@ def main() -> int:
         args.index_dir,
         f"data-v{to_version:06d}-{uuid.uuid4().hex[:8]}",
     )
+    # hold a live flock claim on the dir for the whole build so no
+    # competing run's sweep can mark/reap it mid-write, however long the
+    # build takes relative to the sweep grace (r5 review); released
+    # after the pointer swap makes the dir live (keep-set protection)
+    # and on the no-op path that never writes it
+    build_claim = claim_build_dir(data_dir)
     new_pairs = None
 
     def build_index(docs):
@@ -194,14 +204,16 @@ def main() -> int:
             # literal) so the pairs schema is identical across no-op
             # and real runs — a hardcoded type flips the column type
             # whenever the table happens not to have moved. The type
-            # comes straight from the version's recorded schema dict:
-            # building a full versioned read PLAN just to ask one
-            # column's type is pure metadata-resolution tax on every
-            # no-op cron tick (r5 review)
+            # comes straight from the version's recorded schema dict
+            # (already fetched by the refresh-base probe above —
+            # table_version == to_version on this branch): building a
+            # full versioned read PLAN just to ask one column's type is
+            # pure metadata-resolution tax on every no-op cron tick
+            # (r5 review)
             from pyspark.sql import types as T
 
             doc_t = T.StructType.fromJson(
-                tbl.metadata(to_version)["schema"]
+                base_meta["schema"]
             )["conv_id"].dataType
             empty_schema = T.StructType([
                 T.StructField("doc_a", doc_t),
@@ -213,6 +225,7 @@ def main() -> int:
                 [], empty_schema
             ).write.mode("overwrite").parquet(args.pairs_out)
             out["pairs_path"] = args.pairs_out
+        release_build_claim(build_claim, data_dir)  # never written
         print(json.dumps(out))
         return 0
     else:
@@ -274,6 +287,7 @@ def main() -> int:
         "table_version": to_version, **params,
         "data_dir": data_dir, "index_rows": rows,
     })
+    release_build_claim(build_claim, data_dir)  # live now — meta-kept
     # sweep data-v* dirs the fresh meta no longer points at — the prior
     # meta's dir, plus any orphan a crash left between a write and its
     # pointer swap (those accumulate corpus-sized copies); deferred-reap

@@ -120,19 +120,7 @@ def main() -> int:
             # it each action re-executes the CDC diff read (same
             # multi-consumer materialization dedup_index_job applies to
             # its delta frame).
-        except ValueError as e:
-            if not isinstance(e, SnapshotExpiredError):
-                # a RANGE error (--changed-since-version above the
-                # pinned to_version), not expiry: a silent full-recon
-                # fallback would mask the caller's bad chaining input —
-                # fail loudly, one-JSON-line contract (r5 review of the
-                # expiry-degradation batch)
-                print(json.dumps({
-                    "error": f"invalid --changed-since-version "
-                             f"{args.changed_since_version} for "
-                             f"to_version {to_version}: {e}",
-                }))
-                return 2
+        except SnapshotExpiredError as e:
             # the since-version was expired by expire_snapshots: its
             # deltas are unrecoverable, so degrade to a FULL reconcile
             # (it covers every key the lost range could have touched)
@@ -151,6 +139,18 @@ def main() -> int:
                 hot_threshold=args.hot_threshold,
                 comparator=args.comparator,
             )
+        except ValueError as e:
+            # a RANGE error (--changed-since-version above the pinned
+            # to_version), not expiry: a silent full-recon fallback
+            # would mask the caller's bad chaining input — fail loudly,
+            # one-JSON-line contract (r5 review of the
+            # expiry-degradation batch)
+            print(json.dumps({
+                "error": f"invalid --changed-since-version "
+                         f"{args.changed_since_version} for "
+                         f"to_version {to_version}: {e}",
+            }))
+            return 2
         else:
             # size-based broadcast decision (r3 advice): the count is one
             # cheap job over the already-pruned change read, and above the

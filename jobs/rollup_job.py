@@ -109,6 +109,8 @@ def main() -> int:
            "key_cols": list(key_cols)}
     os.makedirs(args.rollup_dir, exist_ok=True)
     from etl_reconciliate_spark.target.maintenance import (
+        claim_build_dir,
+        release_build_claim,
         swap_meta_pointer,
         sweep_stale_data_dirs,
     )
@@ -129,6 +131,12 @@ def main() -> int:
         args.rollup_dir,
         f"data-v{to_version:06d}-{uuid.uuid4().hex[:8]}",
     )
+    # hold a live flock claim on the dir for the whole build so no
+    # competing run's sweep can mark/reap it mid-write, however long the
+    # build takes relative to the sweep grace (r5 review); released
+    # after the pointer swap makes the dir live (keep-set protection)
+    # and on the no-op path that never writes it
+    build_claim = claim_build_dir(data_dir)
 
     if meta is not None:
         from_version = meta["table_version"]
@@ -161,6 +169,7 @@ def main() -> int:
     elif meta["table_version"] == to_version:
         out["dirty_cells"] = 0
         out["rollup_rows"] = meta["rollup_rows"]
+        release_build_claim(build_claim, data_dir)  # never written
         print(json.dumps(out))
         return 0
     else:
@@ -202,6 +211,7 @@ def main() -> int:
         "key_cols": list(key_cols), "data_dir": data_dir,
         "rollup_rows": rows,
     })
+    release_build_claim(build_claim, data_dir)  # live now — meta-kept
     # sweep data-v* dirs the fresh meta no longer points at — the prior
     # meta's dir, plus any orphan a crash left between a write and its
     # pointer swap (r5 review: those accumulate silently); deferred-reap

@@ -260,3 +260,18 @@ def test_changes_job_range_error_is_not_expiry(spark, table, tmp_path,
     err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "invalid version range" in err["error"]
     assert int(open(cursor).read()) == cur_v  # cursor NOT rewound
+
+    # a --to-version that was NEVER committed is the same caller-error
+    # class: without the up-front probe it would surface as
+    # SnapshotExpiredError, be misread as an expired CURSOR, and die in
+    # a FileNotFoundError traceback bootstrapping at the nonexistent
+    # version (r5 review)
+    monkeypatch.setattr(sys, "argv", [
+        "changes_job.py", "--target", table.path,
+        "--cursor-file", cursor, "--to-version", "999",
+        "--out", str(tmp_path / "changes"),
+    ])
+    assert changes_job.main() == 2
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "to_version 999" in err["error"]
+    assert int(open(cursor).read()) == cur_v  # cursor NOT rewound

@@ -15,7 +15,10 @@ import os
 import time
 
 from etl_reconciliate_spark.target.maintenance import (
+    BUILDING_SUFFIX,
     RETIRED_SUFFIX,
+    claim_build_dir,
+    release_build_claim,
     swap_meta_pointer,
     sweep_stale_data_dirs,
 )
@@ -156,6 +159,75 @@ def test_start_of_run_sweep_without_keep_dir(tmp_path):
     os.utime(sent, (past, past))
     sweep_stale_data_dirs(root, meta, grace_secs=300)
     assert not os.path.exists(old) and not os.path.exists(sent)
+
+
+def test_sweep_never_touches_dir_with_live_build_claim(tmp_path):
+    # an overlapping run is STILL WRITING a not-yet-swapped dir and
+    # advertises it with a held flock claim: no sweep may mark or
+    # remove it, even at zero grace — this is what protects a build
+    # slower than the grace from competing runs' start-of-run sweeps
+    root, meta, old, new = _setup(tmp_path)
+    slow = os.path.join(root, "data-v000003-cccc")
+    os.makedirs(slow)
+    fd = claim_build_dir(slow)
+    assert fd is not None
+    try:
+        sweep_stale_data_dirs(root, meta, new, grace_secs=0)
+        assert os.path.isdir(slow)
+        assert not os.path.exists(slow + RETIRED_SUFFIX)
+        # even a pre-existing mark (left by a claimless earlier sweep)
+        # is cleared while the claim is live
+        open(slow + RETIRED_SUFFIX, "w").close()
+        sweep_stale_data_dirs(root, meta, new, grace_secs=300)
+        assert os.path.isdir(slow)
+        assert not os.path.exists(slow + RETIRED_SUFFIX)
+    finally:
+        release_build_claim(fd, slow)
+    # claim released without a swap = crashed/abandoned attempt: the
+    # normal mark → grace → reap path applies and collects the dir
+    sweep_stale_data_dirs(root, meta, new, grace_secs=0)
+    assert not os.path.exists(slow)
+    assert not os.path.exists(slow + BUILDING_SUFFIX)
+
+
+def test_sweep_reaps_crashed_claim_with_dir(tmp_path):
+    # a SIGKILLed build leaves dir + claim file with the kernel lock
+    # released — the dir takes the two-phase path and the claim file is
+    # collected along with it
+    root, meta, old, new = _setup(tmp_path)
+    dead = os.path.join(root, "data-v000004-eeee")
+    os.makedirs(dead)
+    open(dead + BUILDING_SUFFIX, "w").close()  # claim, no lock held
+    sweep_stale_data_dirs(root, meta, new, grace_secs=60)
+    sent = dead + RETIRED_SUFFIX
+    assert os.path.isdir(dead) and os.path.exists(sent)
+    past = time.time() - 120
+    os.utime(sent, (past, past))
+    sweep_stale_data_dirs(root, meta, new, grace_secs=60)
+    assert not os.path.exists(dead)
+    assert not os.path.exists(sent)
+    assert not os.path.exists(dead + BUILDING_SUFFIX)
+
+
+def test_sweep_collects_stale_meta_tmp_and_dirless_claim(tmp_path):
+    # SIGKILL litter: a unique meta temp from a crashed swap and a
+    # claim whose dir never appeared are collected once old enough; a
+    # FRESH temp/claim (a racing swap ms from its os.replace, a build
+    # between claim and first byte) is left alone even at grace 0
+    root, meta, old, new = _setup(tmp_path)
+    stale_tmp = meta + ".tmp-deadbeef"
+    fresh_tmp = meta + ".tmp-cafef00d"
+    open(stale_tmp, "w").close()
+    open(fresh_tmp, "w").close()
+    stale_claim = os.path.join(root, "data-v000008-ffff" + BUILDING_SUFFIX)
+    open(stale_claim, "w").close()
+    past = time.time() - 3600
+    os.utime(stale_tmp, (past, past))
+    os.utime(stale_claim, (past, past))
+    sweep_stale_data_dirs(root, meta, new, grace_secs=0)
+    assert not os.path.exists(stale_tmp)
+    assert not os.path.exists(stale_claim)
+    assert os.path.exists(fresh_tmp)
 
 
 def test_sweep_removes_orphan_sentinel(tmp_path):
