@@ -33,16 +33,24 @@ BUILDING_SUFFIX = ".building"
 _MIN_LITTER_AGE_SECS = 60.0
 
 
-def _flock_probe(fd: int) -> str:
-    """Non-blocking exclusive flock on ``fd`` — the writer-liveness
-    probe (same contract as ``table._try_flock``, duplicated so this
-    module stays importable without pyspark): ``"acquired"`` (lock now
-    held by us until the fd closes), ``"held"`` (a live process owns
-    it), ``"unsupported"`` (no advisory locks here)."""
+def _flock_probe(fd: int, shared: bool = False) -> str:
+    """Non-blocking flock on ``fd`` — the writer-liveness probe (same
+    contract as ``table._try_flock``, duplicated so this module stays
+    importable without pyspark): ``"acquired"`` (lock now held by us
+    until the fd closes), ``"held"`` (a live process owns it),
+    ``"unsupported"`` (no advisory locks here).
+
+    ``shared=True`` probes with ``LOCK_SH``: it still conflicts with a
+    writer's ``LOCK_EX`` (correctly reporting "held") but NOT with
+    another prober's ``LOCK_SH`` — so two concurrent sweeps probing the
+    same crashed claim cannot make each other see a phantom live writer
+    (r5 fourth review).
+    """
     if fcntl is None:
         return "unsupported"
     try:
-        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        fcntl.flock(fd, (fcntl.LOCK_SH if shared else fcntl.LOCK_EX)
+                    | fcntl.LOCK_NB)
         return "acquired"
     except OSError as e:
         import errno
@@ -58,13 +66,16 @@ def _claim_held(claim_path: str) -> bool:
     A missing claim, an acquirable lock (crashed writer — the kernel
     released it), or no flock support all return False; the probe fd is
     closed immediately so an acquired probe lock is released at once.
+    The probe takes ``LOCK_SH``, so concurrent probes never block each
+    other and never (transiently) present a writer-excluding lock for
+    longer than the syscall pair.
     """
     try:
         fd = os.open(claim_path, os.O_RDONLY)
     except OSError:
         return False
     try:
-        return _flock_probe(fd) == "held"
+        return _flock_probe(fd, shared=True) == "held"
     finally:
         os.close(fd)
 
@@ -90,10 +101,20 @@ def claim_build_dir(data_dir: str) -> int | None:
         fd = os.open(claim, os.O_RDWR | os.O_CREAT, 0o644)
     except OSError:
         return None
-    if _flock_probe(fd) != "acquired":
-        os.close(fd)
-        return None
-    return fd
+    # a concurrent sweep's liveness probe holds a LOCK_SH on this very
+    # file for a syscall pair — one EWOULDBLOCK does NOT mean another
+    # writer owns the dir (the uuid name makes that impossible), so
+    # retry briefly instead of silently downgrading a multi-minute
+    # build to grace-only protection (r5 fourth review)
+    for _ in range(5):
+        status = _flock_probe(fd)
+        if status == "acquired":
+            return fd
+        if status == "unsupported":
+            break
+        time.sleep(0.05)
+    os.close(fd)
+    return None
 
 
 def release_build_claim(fd: int | None, data_dir: str) -> None:
@@ -285,11 +306,21 @@ def sweep_stale_data_dirs(root: str, meta_path: str,
         sentinel = full + RETIRED_SUFFIX
         if os.path.abspath(full) in keep:
             # live (again) — clear any retirement mark a concurrent
-            # sweep left while this run's swap was still in flight
+            # sweep left while this run's swap was still in flight, and
+            # any dead build claim a crash stranded between the pointer
+            # swap and release_build_claim (the kernel freed its lock;
+            # leaving it would advertise a phantom in-flight build for
+            # the dir's whole live lifetime — r5 fourth review)
             try:
                 os.remove(sentinel)
             except OSError:
                 pass
+            claim = full + BUILDING_SUFFIX
+            if os.path.exists(claim) and not _claim_held(claim):
+                try:
+                    os.remove(claim)
+                except OSError:
+                    pass
             continue
         if _claim_held(full + BUILDING_SUFFIX):
             # an overlapping run is STILL WRITING this dir (its claim

@@ -209,6 +209,25 @@ def test_sweep_reaps_crashed_claim_with_dir(tmp_path):
     assert not os.path.exists(dead + BUILDING_SUFFIX)
 
 
+def test_sweep_clears_dead_claim_on_live_dir(tmp_path):
+    # a crash between the pointer swap and release_build_claim strands
+    # a free-lock claim beside the now-LIVE dir: the keep branch must
+    # collect it (it advertises a phantom in-flight build), but leave a
+    # HELD claim alone (the swap→release window of a live writer)
+    root, meta, old, new = _setup(tmp_path)
+    dead_claim = new + BUILDING_SUFFIX
+    open(dead_claim, "w").close()  # lock free = dead owner
+    sweep_stale_data_dirs(root, meta, new, grace_secs=300)
+    assert os.path.isdir(new) and not os.path.exists(dead_claim)
+    fd = claim_build_dir(new)
+    assert fd is not None
+    try:
+        sweep_stale_data_dirs(root, meta, new, grace_secs=300)
+        assert os.path.exists(new + BUILDING_SUFFIX)  # held → kept
+    finally:
+        release_build_claim(fd, new)
+
+
 def test_sweep_collects_stale_meta_tmp_and_dirless_claim(tmp_path):
     # SIGKILL litter: a unique meta temp from a crashed swap and a
     # claim whose dir never appeared are collected once old enough; a
