@@ -34,11 +34,11 @@ _MIN_LITTER_AGE_SECS = 60.0
 
 
 def _flock_probe(fd: int, shared: bool = False) -> str:
-    """Non-blocking flock on ``fd`` — the writer-liveness probe (same
-    contract as ``table._try_flock``, duplicated so this module stays
-    importable without pyspark): ``"acquired"`` (lock now held by us
-    until the fd closes), ``"held"`` (a live process owns it),
-    ``"unsupported"`` (no advisory locks here).
+    """Non-blocking flock on ``fd`` — the writer-liveness probe (the
+    ``table._try_flock`` return contract plus a shared mode, duplicated
+    so this module stays importable without pyspark): ``"acquired"``
+    (lock now held by us until the fd closes), ``"held"`` (a live
+    process owns it), ``"unsupported"`` (no advisory locks here).
 
     ``shared=True`` probes with ``LOCK_SH``: it still conflicts with a
     writer's ``LOCK_EX`` (correctly reporting "held") but NOT with
@@ -106,13 +106,14 @@ def claim_build_dir(data_dir: str) -> int | None:
     # writer owns the dir (the uuid name makes that impossible), so
     # retry briefly instead of silently downgrading a multi-minute
     # build to grace-only protection (r5 fourth review)
-    for _ in range(5):
+    for attempt in range(5):
         status = _flock_probe(fd)
         if status == "acquired":
             return fd
         if status == "unsupported":
             break
-        time.sleep(0.05)
+        if attempt < 4:
+            time.sleep(0.05)
     os.close(fd)
     return None
 
@@ -316,7 +317,7 @@ def sweep_stale_data_dirs(root: str, meta_path: str,
             except OSError:
                 pass
             claim = full + BUILDING_SUFFIX
-            if os.path.exists(claim) and not _claim_held(claim):
+            if not _claim_held(claim):  # False for missing claim too
                 try:
                     os.remove(claim)
                 except OSError:

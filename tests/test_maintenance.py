@@ -209,6 +209,30 @@ def test_sweep_reaps_crashed_claim_with_dir(tmp_path):
     assert not os.path.exists(dead + BUILDING_SUFFIX)
 
 
+def test_claim_build_dir_retries_through_probe_lock(tmp_path):
+    # a sweep's liveness probe holds LOCK_SH on the claim for a syscall
+    # pair; the writer's first LOCK_EX attempt then fails EWOULDBLOCK —
+    # claim_build_dir must retry past it instead of silently downgrading
+    # the build to grace-only protection. Simulate the prober with a
+    # short-lived SH lock released from a helper thread mid-retry.
+    import fcntl
+    import threading
+
+    d = os.path.join(str(tmp_path), "data-v000001-aaaa")
+    claim = d + BUILDING_SUFFIX
+    probe_fd = os.open(claim, os.O_RDWR | os.O_CREAT, 0o644)
+    fcntl.flock(probe_fd, fcntl.LOCK_SH | fcntl.LOCK_NB)
+    t = threading.Timer(0.08, os.close, args=(probe_fd,))
+    t.start()
+    try:
+        fd = claim_build_dir(d)  # first attempt collides with the probe
+        assert fd is not None  # …but a retry after release wins
+        release_build_claim(fd, d)
+    finally:
+        t.cancel()
+    assert not os.path.exists(claim)
+
+
 def test_sweep_clears_dead_claim_on_live_dir(tmp_path):
     # a crash between the pointer swap and release_build_claim strands
     # a free-lock claim beside the now-LIVE dir: the keep branch must
