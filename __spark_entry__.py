@@ -477,13 +477,13 @@ def q_textstats_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_textstats_basics() -> str:
+    from etl_reconciliate_spark.operators.textstats import sql_token_count
+
     return rf"""
 WITH {_sql_simhash_cte()},
 tok AS (
   SELECT doc_id,
-    CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
-         ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+')) END
-      AS n_tokens
+    {sql_token_count("coalesce(text, '')")} AS n_tokens
   FROM documents
 ),
 marked AS (
@@ -494,9 +494,7 @@ marked AS (
   FROM documents
 ),
 bpe AS (
-  SELECT doc_id,
-    CASE WHEN length(trim(m)) = 0 THEN 0
-         ELSE len(string_split_regex(trim(m), '\s+')) END AS n_bpe_tokens
+  SELECT doc_id, {sql_token_count("m")} AS n_bpe_tokens
   FROM marked
 ),
 fp AS (
@@ -1155,13 +1153,12 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_pack_sequences() -> str:
     from etl_reconciliate_spark.functions.hashing import hash32_sql
+    from etl_reconciliate_spark.operators.textstats import sql_token_count
 
     return rf"""
 WITH d AS (
   SELECT doc_id,
-    CAST(CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
-         ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+')) END
-      AS INT) AS n_tokens,
+    CAST({sql_token_count("coalesce(text, '')")} AS INT) AS n_tokens,
     CAST({hash32_sql('doc_id')} % {PACK_SHARDS} AS INT) AS shard
   FROM documents
 )
@@ -1191,7 +1188,11 @@ def q_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 100 != 0),
         docs.filter(F.col("doc_id") % 100 == 0),
         k=8,
-        min_overlap_frac=0.3,
+        # 0.2, not the operator's 0.3 default: under benchmark-side
+        # normalization (the GPT-3 appendix C direction) the synthetic
+        # corpus tops out at ~0.27 overlap — 0.3 would make this oracle
+        # check vacuous (0 rows) at every sf
+        min_overlap_frac=0.2,
     )
 
 
@@ -1222,16 +1223,16 @@ bsh AS (
   ) gs
   WHERE length(substr(bn.t, CAST(gs.i AS INT), 8)) > 0
 ),
-sizes AS (SELECT train_id, COUNT(*) AS n_train_sh FROM tsh GROUP BY train_id),
+sizes AS (SELECT bench_id, COUNT(*) AS n_bench_sh FROM bsh GROUP BY bench_id),
 common AS (
   SELECT train_id, bench_id, COUNT(*) AS n_common_shingles
   FROM tsh JOIN bsh USING (shingle)
   GROUP BY train_id, bench_id
 )
 SELECT c.train_id, c.bench_id, c.n_common_shingles,
-       c.n_common_shingles / CAST(s.n_train_sh AS DOUBLE) AS overlap_frac
-FROM common c JOIN sizes s ON s.train_id = c.train_id
-WHERE c.n_common_shingles / CAST(s.n_train_sh AS DOUBLE) >= 0.3
+       c.n_common_shingles / CAST(s.n_bench_sh AS DOUBLE) AS overlap_frac
+FROM common c JOIN sizes s ON s.bench_id = c.bench_id
+WHERE c.n_common_shingles / CAST(s.n_bench_sh AS DOUBLE) >= 0.2
 """
 
 
@@ -1724,14 +1725,17 @@ def q_checksum_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_checksum_blocks() -> str:
     from etl_reconciliate_spark.functions.hashing import hash32_sql, hash60_sql
 
-    key_canon = (
-        "concat_ws(chr(1), coalesce(CAST(conv_id AS VARCHAR), chr(0)), "
-        "coalesce(CAST(turn_idx AS VARCHAR), chr(0)))"
-    )
+    # length-prefixed injective framing, mirroring operators.checksum
+    # _canon exactly (the || operator propagates NULL where DuckDB's
+    # concat() would skip it, so coalesce sees NULL for null fields)
+    def _fld(c):
+        v = f"CAST({c} AS VARCHAR)"
+        return f"coalesce(CAST(length({v}) AS VARCHAR) || ':' || {v}, chr(0))"
+
+    key_canon = f"concat_ws(chr(1), {_fld('conv_id')}, {_fld('turn_idx')})"
     row_canon = (
-        "concat_ws(chr(1), coalesce(CAST(conv_id AS VARCHAR), chr(0)), "
-        "coalesce(CAST(turn_idx AS VARCHAR), chr(0)), "
-        "coalesce(CAST(text AS VARCHAR), chr(0)))"
+        f"concat_ws(chr(1), {_fld('conv_id')}, {_fld('turn_idx')}, "
+        f"{_fld('text')})"
     )
     return f"""
 WITH src AS (
@@ -1866,7 +1870,7 @@ def _sql_table_profile() -> str:
             p50 = p99 = "CAST(NULL AS DOUBLE)"
         parts.append(
             f"""SELECT '{c}' AS "column", COUNT(*) AS n_rows,
-       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COALESCE(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null,
        COUNT(DISTINCT {c}) AS n_distinct,
        MIN(CAST({c} AS VARCHAR)) AS min_str,
        MAX(CAST({c} AS VARCHAR)) AS max_str,
@@ -1890,19 +1894,19 @@ def _sql_profile_drift() -> str:
     prof = """
   SELECT * FROM (
     SELECT 'conv_id' AS col, COUNT(*) AS n_rows,
-           CAST(SUM(CASE WHEN conv_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COALESCE(SUM(CASE WHEN conv_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null,
            COUNT(DISTINCT conv_id) AS n_distinct,
            MIN(CAST(conv_id AS VARCHAR)) AS mn, MAX(CAST(conv_id AS VARCHAR)) AS mx
     FROM {t}
     UNION ALL
     SELECT 'turn_idx', COUNT(*),
-           CAST(SUM(CASE WHEN turn_idx IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COALESCE(SUM(CASE WHEN turn_idx IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
            COUNT(DISTINCT turn_idx),
            MIN(CAST(turn_idx AS VARCHAR)), MAX(CAST(turn_idx AS VARCHAR))
     FROM {t}
     UNION ALL
     SELECT 'text', COUNT(*),
-           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COALESCE(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
            COUNT(DISTINCT text),
            MIN(CAST(text AS VARCHAR)), MAX(CAST(text AS VARCHAR))
     FROM {t}

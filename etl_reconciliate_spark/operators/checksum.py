@@ -22,9 +22,11 @@ no analog) is hierarchical:
 
 The row hash is the portable md5-derived family (``functions.hashing``)
 so every digest is DuckDB-verifiable; at 100 TB swap ``xxhash64`` in at
-that single seam. Rows are canonicalized with explicit per-column null
-sentinels (``concat_ws`` alone would let ('a', NULL, 'b') collide with
-('a', 'b', NULL)).
+that single seam. Rows are canonicalized injectively: explicit
+per-column null sentinels (``concat_ws`` alone would let
+('a', NULL, 'b') collide with ('a', 'b', NULL)) AND per-value length
+prefixes (separator framing alone would let ('a\\x01b', 'c') collide
+with ('a', 'b\\x01c') — see :func:`_canon`).
 
 Guarantee: the drill-down's non-MATCH set equals the full row-level
 reconcile's non-MATCH set exactly, modulo digest collisions: a
@@ -50,10 +52,27 @@ SEP = "\x01"
 
 
 def _canon(cols: list[str]) -> Column:
-    """Canonical string of a row slice: null-safe, separator-framed."""
-    return F.concat_ws(
-        SEP, *[F.coalesce(F.col(c).cast("string"), F.lit(NULL_SENTINEL)) for c in cols]
-    )
+    """Canonical string of a row slice: null-safe, INJECTIVE framing.
+
+    Each non-null value is length-prefixed (``<len>:<value>``) before
+    the separator join — a bare separator join is not injection-safe:
+    ``('a\\x01b', 'c')`` and ``('a', 'b\\x01c')`` would frame
+    identically, and a value equal to the NULL sentinel would read as
+    NULL, letting two genuinely different rows produce equal digests
+    DETERMINISTICALLY rather than at the advertised collision odds (r5
+    operator review). The digit-run + ':' prefix pins every field
+    boundary, and a null's bare sentinel can never equal a value's
+    prefixed form."""
+    parts = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        parts.append(
+            F.coalesce(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s),
+                F.lit(NULL_SENTINEL),
+            )
+        )
+    return F.concat_ws(SEP, *parts)
 
 
 def block_expr(key_cols: list[str], n_blocks: int) -> Column:

@@ -116,27 +116,38 @@ def contamination_pairs(
     min_overlap_frac: float = 0.3,
 ) -> DataFrame:
     """Benchmark-contamination detection: (train_id, bench_id,
-    n_common_shingles, overlap_frac) for every train document sharing at
-    least ``min_overlap_frac`` of its char-``k``-gram shingles with a
-    benchmark document (GPT-3-appendix-C-style n-gram decontamination).
+    n_common_shingles, overlap_frac) for every (train, benchmark) pair
+    whose shared char-``k``-gram shingles cover at least
+    ``min_overlap_frac`` of the BENCHMARK document's shingles
+    (GPT-3-appendix-C-style n-gram decontamination).
+
+    Normalizing by the benchmark side is load-bearing (r5 operator
+    review): the question is "how much of this eval item appears in
+    training data", and a 100k-char train document that verbatim-embeds
+    a whole 500-char benchmark question has a train-side fraction of
+    ~0.005 — normalizing by the train side made the filter WEAKER the
+    longer (and likelier-contaminated) the train doc, missing the
+    canonical contamination mode entirely. GPT-3 appendix C and the
+    FLAN/OLMo decontamination recipes all measure against the benchmark
+    example.
 
     The join is on the shingle value — candidate pairs ∝ shared
     shingles, never |train| × |bench| — and the benchmark side of a real
-    run is small (eval suites), so Spark broadcasts it after the
-    aggregation; the train side streams through one shuffle.
+    run is small (eval suites), so both its shingle frame and its
+    per-doc sizes broadcast; the train side streams through one shuffle.
     """
     t_sh = char_shingles(train, k).withColumnRenamed("doc_id", "train_id")
     b_sh = char_shingles(benchmark, k).withColumnRenamed("doc_id", "bench_id")
-    t_sizes = t_sh.groupBy("train_id").agg(F.count(F.lit(1)).alias("n_train_sh"))
+    b_sizes = b_sh.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_bench_sh"))
     common = (
         t_sh.join(b_sh, "shingle")
         .groupBy("train_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_common_shingles"))
     )
     return (
-        common.join(t_sizes, "train_id")
+        common.join(F.broadcast(b_sizes), "bench_id")
         .withColumn(
-            "overlap_frac", F.col("n_common_shingles") / F.col("n_train_sh")
+            "overlap_frac", F.col("n_common_shingles") / F.col("n_bench_sh")
         )
         .filter(F.col("overlap_frac") >= min_overlap_frac)
         .select("train_id", "bench_id", "n_common_shingles", "overlap_frac")

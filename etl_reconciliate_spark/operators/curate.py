@@ -95,9 +95,16 @@ def curate_corpus(
     (plans.cache.CacheHandle) to own it; else the module slot holds it
     and :func:`release_curate_cache` (or the next call) releases it."""
     qc = quality_columns()
+    # keep_cols beyond the five standard outputs must enter the gated
+    # projection here, or the final select cannot resolve them (the
+    # docstring advertises arbitrary ride-through columns — r5 operator
+    # review found keep_cols=("source",) crashed with UNRESOLVED_COLUMN)
+    base_cols = ("doc_id", "text", "lang_pred", "n_tokens", "quality_score")
+    extra = [c for c in keep_cols if c not in base_cols]
     gated = docs.select(
         "doc_id",
         "text",
+        *extra,
         lang_pred_column().alias("lang_pred"),
         qc["n_tokens"].alias("n_tokens"),
         qc["quality_score"].alias("quality_score"),

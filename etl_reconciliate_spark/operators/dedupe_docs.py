@@ -55,12 +55,14 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 
 def char_shingles(docs: DataFrame, k: int = 8, text_col: str = "text") -> DataFrame:
     """Distinct char-k-gram shingles per doc: (doc_id, shingle).
-    Normalization: lowercase + whitespace collapse. Short docs (<k chars)
-    contribute their whole text as one shingle."""
-    norm = F.lower(
-        F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "))
-    )
-    d = docs.select("doc_id", norm.alias("_t"))
+    Normalization: the SHARED fingerprint normalization
+    (``textstats.normalized_text`` — lowercase + whitespace collapse);
+    one implementation so shingles and exact-dedup fingerprints can
+    never normalize differently (r5 operator review). Short docs
+    (<k chars) contribute their whole text as one shingle."""
+    from etl_reconciliate_spark.operators.textstats import normalized_text
+
+    d = docs.select("doc_id", normalized_text(text_col).alias("_t"))
     n = F.length("_t")
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return (

@@ -31,10 +31,14 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
     ("ipv4", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
-    # digit, then >=7 of [digit - space ( )], then digit — matches
+    # digit, then >=7 of [digit - SPACE ( )], then digit — matches
     # +1 555..., (555) 01..., 555-0199-042; runs LAST so ids consumed
-    # by the ssn/ipv4 patterns never double-count as phones.
-    ("phone", r"\+?[0-9][0-9\-\s()]{7,}[0-9]", "<PHONE>"),
+    # by the ssn/ipv4 patterns never double-count as phones. The class
+    # uses a literal space, NOT \s: \s matches newlines, which glued
+    # unrelated digit runs on adjacent lines into one "phone" and
+    # shredded any newline-separated table of numbers (r5 operator
+    # review) — a real phone number never spans a line break.
+    ("phone", r"\+?[0-9][0-9\- ()]{7,}[0-9]", "<PHONE>"),
 ]
 
 

@@ -67,7 +67,13 @@ def column_profile(
             and isinstance(df.schema[c].dataType, T.NumericType)
         )
         aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{i}"),
+            # coalesce: SUM over zero rows is NULL, and a NULL n_null
+            # poisons profile_drift's != comparison into a NULL drifted
+            # flag on empty-vs-empty profiles (r5 operator review); an
+            # empty table has zero nulls, not unknown nulls
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("long")), F.lit(0)
+            ).alias(f"_null_{i}"),
             F.countDistinct(F.col(c)).alias(f"_dist_{i}"),
             F.min(s).alias(f"_min_{i}"),
             F.max(s).alias(f"_max_{i}"),

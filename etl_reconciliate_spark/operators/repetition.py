@@ -48,15 +48,22 @@ def with_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
       counts with the bigram, as in the Gopher definition);
     * ``repetitive`` (bool) — any Gopher threshold exceeded.
     """
+    from etl_reconciliate_spark.operators.textstats import token_array
+
     t = F.coalesce(F.col(text_col), F.lit(""))
+    # token_array is the SHARED tokenization (textstats) — the previous
+    # local trim-based split leaked empty-string tokens on tab/newline
+    # edges ('\n\n' counted 3 phantom tokens with dup_token_frac 2/3)
+    # and could silently diverge from token_count (r5 operator review).
+    # The blank-line test is any-non-whitespace (rlike \S), not
+    # length(trim(x)) — trim strips only spaces, so a tab-only line
+    # used to count as content.
     d = docs.select(
         "doc_id",
         F.length(t).alias("nc"),
-        F.when(F.length(F.trim(t)) == 0, F.expr("array()"))
-        .otherwise(F.split(F.trim(t), r"\s+"))
-        .alias("toks"),
+        token_array(t).alias("toks"),
         F.filter(
-            F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0
+            F.split(t, "\n"), lambda x: x.rlike(r"\S")
         ).alias("lines"),
     )
     d = d.withColumn(
@@ -105,16 +112,18 @@ def with_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def repetition_oracle_sql(source_sql: str = "SELECT doc_id, text FROM documents") -> str:
     """DuckDB mirror of :func:`with_repetition` over ``source_sql``
-    (which must yield ``doc_id, text``)."""
+    (which must yield ``doc_id, text``). The token array is the shared
+    ``textstats.sql_token_array`` mirror."""
+    from etl_reconciliate_spark.operators.textstats import sql_token_array
+
     return rf"""
 WITH src AS ({source_sql}),
 base AS (
   SELECT doc_id,
     length(coalesce(text, '')) AS nc,
-    CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN []
-         ELSE string_split_regex(trim(coalesce(text, '')), '\s+') END AS toks,
+    {sql_token_array("coalesce(text, '')")} AS toks,
     list_filter(string_split(coalesce(text, ''), chr(10)),
-                x -> length(trim(x)) > 0) AS lines
+                x -> regexp_matches(x, '\S')) AS lines
   FROM src
 ), b AS (
   SELECT *, CASE WHEN len(toks) >= 2 THEN

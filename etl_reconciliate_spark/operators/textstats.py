@@ -12,12 +12,45 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 # ---------------------------------------------------------------- tokens
 
+def _ws_stripped(col: Column) -> Column:
+    """``col`` with ALL leading/trailing whitespace removed (null → '').
+
+    ``trim()`` strips only 0x20 spaces, so a tab/newline-bordered text
+    used to leak empty-string tokens into the split ('\\thello' counted
+    2 tokens, a lone '\\n' counted 2) — phantom tokens that inflated
+    quality gates and pack_sequences offsets (r5 operator review)."""
+    return F.regexp_replace(F.coalesce(col, F.lit("")), r"^\s+|\s+$", "")
+
+
+def token_array(col: Column) -> Column:
+    """Whitespace-token array (empty for empty/blank/null) — the ONE
+    tokenization every token-consuming operator shares (token_count,
+    repetition metrics), so a boundary-handling fix cannot silently
+    diverge between them."""
+    t = _ws_stripped(col)
+    return F.when(F.length(t) == 0, F.expr("array()")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
 def token_count(col: Column) -> Column:
     """Whitespace token count (0 for empty/blank/null)."""
-    t = F.trim(F.coalesce(col, F.lit("")))
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
-        F.size(F.split(t, r"\s+"))
+    return F.size(token_array(col))
+
+
+def sql_token_array(expr: str) -> str:
+    """DuckDB mirror of :func:`token_array` over a string SQL ``expr``
+    (which must already be null-coalesced)."""
+    s = rf"regexp_replace({expr}, '^\s+|\s+$', '', 'g')"
+    return (
+        f"CASE WHEN length({s}) = 0 THEN [] "
+        rf"ELSE string_split_regex({s}, '\s+') END"
     )
+
+
+def sql_token_count(expr: str) -> str:
+    """DuckDB mirror of :func:`token_count` over a string SQL ``expr``."""
+    return f"len({sql_token_array(expr)})"
 
 
 def bpe_ish_token_count(col: Column) -> Column:
@@ -53,7 +86,11 @@ def quality_columns(text_col: str = "text") -> dict[str, Column]:
     n_punct = n_chars - F.length(F.regexp_replace(t, r"[!-/:-@\[-`{-~]", ""))
     n_upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
     n_digit = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
-    lower = F.lower(t)
+    # space-padded like the language scorer's marker matching: without
+    # the pad, a stopword at the document's first or last position never
+    # matches ' w ' and short docs scored as stopword-free (r5 operator
+    # review — the lang scorer had the pad, this one didn't)
+    lower = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
     n_stop = F.lit(0)
     for w in ("the", "and", "of", "to", "in"):
         pat = f" {w} "
@@ -99,22 +136,23 @@ def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-QUALITY_ORACLE_SQL = r"""
+QUALITY_ORACLE_SQL = rf"""
 WITH base AS (
-  SELECT doc_id, coalesce(text, '') AS t FROM documents
+  SELECT doc_id, coalesce(text, '') AS t,
+         concat(' ', lower(coalesce(text, '')), ' ') AS lo
+  FROM documents
 ), m AS (
   SELECT doc_id, t,
     length(t) AS n_chars_m,
-    CASE WHEN length(trim(t)) = 0 THEN 0
-         ELSE len(string_split_regex(trim(t), '\s+')) END AS n_tokens,
-    length(t) - length(regexp_replace(t, '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct,
+    {sql_token_count("t")} AS n_tokens,
+    length(t) - length(regexp_replace(t, '[!-/:-@\[-`{{-~]', '', 'g')) AS n_punct,
     length(t) - length(regexp_replace(t, '[A-Z]', '', 'g')) AS n_upper,
     length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS n_digit,
-    CAST((length(lower(t)) - length(replace(lower(t), ' the ', ''))) / 5 AS INT)
-      + CAST((length(lower(t)) - length(replace(lower(t), ' and ', ''))) / 5 AS INT)
-      + CAST((length(lower(t)) - length(replace(lower(t), ' of ', ''))) / 4 AS INT)
-      + CAST((length(lower(t)) - length(replace(lower(t), ' to ', ''))) / 4 AS INT)
-      + CAST((length(lower(t)) - length(replace(lower(t), ' in ', ''))) / 4 AS INT)
+    CAST((length(lo) - length(replace(lo, ' the ', ''))) / 5 AS INT)
+      + CAST((length(lo) - length(replace(lo, ' and ', ''))) / 5 AS INT)
+      + CAST((length(lo) - length(replace(lo, ' of ', ''))) / 4 AS INT)
+      + CAST((length(lo) - length(replace(lo, ' to ', ''))) / 4 AS INT)
+      + CAST((length(lo) - length(replace(lo, ' in ', ''))) / 4 AS INT)
       AS n_stop
   FROM base
 )
@@ -154,19 +192,11 @@ def _marker_score(lower: Column, markers: list[str]) -> Column:
 
 def lang_pred_column(text_col: str = "text") -> Column:
     """The predicted-language Column alone (for join-free composition
-    into an existing projection)."""
-    lower = F.concat(F.lit(" "), F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(" "))
-    scores = {lang: _marker_score(lower, ms) for lang, ms in LANG_MARKERS.items()}
-    structs = [
-        F.struct(
-            scores[lang].alias("s"),
-            F.lit(-i).alias("prio"),
-            F.lit(lang).alias("lang"),
-        )
-        for i, lang in enumerate(LANG_MARKERS)
-    ]
-    best = F.greatest(*structs)
-    return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
+    into an existing projection). Delegates to :func:`lang_id_columns`
+    — ONE argmax implementation, or a marker/tie-break change applied
+    to one copy would classify the same document differently across
+    consumers (r5 operator review)."""
+    return lang_id_columns(text_col)["lang_pred"]
 
 
 def lang_id_columns(text_col: str = "text") -> dict[str, Column]:
@@ -233,27 +263,33 @@ FROM s
 
 # ----------------------------------------------------------- fingerprint
 
-def fingerprint_column(text_col: str = "text") -> Column:
-    """The fingerprint expression alone (join-free composition)."""
-    norm = F.lower(
+def normalized_text(text_col: str = "text") -> Column:
+    """The fingerprint normalization (whitespace-collapsed, trimmed,
+    lowercased) as ONE shared expression — fingerprint_column and
+    with_fingerprint's norm_len both derive from it, so an edit to the
+    normalization cannot leave them computed on different text (r5
+    operator review; ``trim`` alone is sufficient here because the
+    collapse already turned every edge whitespace run into a space)."""
+    return F.lower(
         F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "))
     )
-    return F.md5(norm)
+
+
+def fingerprint_column(text_col: str = "text") -> Column:
+    """The fingerprint expression alone (join-free composition)."""
+    return F.md5(normalized_text(text_col))
 
 
 def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprint: md5 of whitespace-normalized lowercase text
     — the exact-dedup key (rolling-hash-equivalent at document scope).
-    The fingerprint expression is :func:`fingerprint_column` — ONE
+    Both columns derive from :func:`normalized_text` — ONE
     implementation, or the exact-dedup key could silently diverge
     between consumers (r5 review)."""
-    norm = F.lower(
-        F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "))
-    )
     return docs.select(
         "doc_id",
         fingerprint_column(text_col).alias("fingerprint"),
-        F.length(norm).alias("norm_len"),
+        F.length(normalized_text(text_col)).alias("norm_len"),
     )
 
 
