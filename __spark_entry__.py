@@ -477,7 +477,11 @@ def q_textstats_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_textstats_basics() -> str:
-    from etl_reconciliate_spark.operators.textstats import sql_token_count
+    from etl_reconciliate_spark.operators.textstats import (
+        WS_CHARS,
+        sql_normalized_text,
+        sql_token_count,
+    )
 
     return rf"""
 WITH {_sql_simhash_cte()},
@@ -489,7 +493,7 @@ tok AS (
 marked AS (
   SELECT doc_id,
     regexp_replace(coalesce(text, ''),
-                   '([0-9])([^0-9\s])|([a-zA-Z])([0-9])|([^\s0-9a-zA-Z])',
+                   '([0-9])([^0-9{WS_CHARS}])|([a-zA-Z])([0-9])|([^{WS_CHARS}0-9a-zA-Z])',
                    '\1\3\5 \2\4', 'g') AS m
   FROM documents
 ),
@@ -499,7 +503,7 @@ bpe AS (
 ),
 fp AS (
   SELECT doc_id,
-    md5(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))))
+    md5({sql_normalized_text()})
       AS fingerprint
   FROM documents
 ),
@@ -537,10 +541,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_shingles(k: int = 8, src: str = "documents") -> str:
+    from etl_reconciliate_spark.operators.textstats import sql_normalized_text
+
     return rf"""
 d AS (
   SELECT doc_id,
-    lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))) AS t
+    {sql_normalized_text()} AS t
   FROM {src}
 ),
 sh AS (
@@ -770,6 +776,7 @@ SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src
 def _sql_simhash_cte(bits: int = 32) -> str:
     """CTE chain ending in ``sim(doc_id, simhash)``."""
     from etl_reconciliate_spark.functions.hashing import hash32_sql
+    from etl_reconciliate_spark.operators.textstats import sql_normalized_text
 
     h = hash32_sql("tok")
     sums = ",\n    ".join(
@@ -782,7 +789,7 @@ def _sql_simhash_cte(bits: int = 32) -> str:
     )
     return rf"""d AS (
   SELECT doc_id,
-    lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))) AS t
+    {sql_normalized_text()} AS t
   FROM documents
 ),
 toks AS (
@@ -1046,6 +1053,7 @@ def _sql_curate(
     from etl_reconciliate_spark.operators.textstats import (
         QUALITY_ORACLE_SQL,
         lang_id_oracle_sql,
+        sql_normalized_text,
     )
 
     langs_sql = ", ".join(f"'{x}'" for x in langs)
@@ -1062,7 +1070,7 @@ filtered AS (
 ),
 fpt AS (
   SELECT doc_id,
-    md5(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))))
+    md5({sql_normalized_text()})
       AS fingerprint
   FROM filtered
 ),
@@ -1179,8 +1187,9 @@ def q_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     in for the eval suite (1% of the corpus — real eval suites are tiny
     relative to training data; the r3 10% stand-in made this the
     heaviest suite entry for no semantic gain, r3 verdict item 3); flag
-    train docs sharing >= 30% of their 8-gram shingles with any
-    benchmark doc."""
+    (train, benchmark) pairs whose shared 8-gram shingles cover >= 20%
+    of the BENCHMARK doc's shingles (benchmark-side normalization —
+    see contamination_pairs)."""
     from etl_reconciliate_spark.operators.corpus import contamination_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -1196,15 +1205,18 @@ def q_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_CONTAMINATION = r"""
+def _sql_contamination() -> str:
+    from etl_reconciliate_spark.operators.textstats import sql_normalized_text
+
+    return rf"""
 WITH tn AS (
   SELECT doc_id,
-    lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))) AS t
+    {sql_normalized_text()} AS t
   FROM documents WHERE doc_id % 100 != 0
 ),
 bn AS (
   SELECT doc_id,
-    lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))) AS t
+    {sql_normalized_text()} AS t
   FROM documents WHERE doc_id % 100 = 0
 ),
 tsh AS (
@@ -1243,8 +1255,13 @@ WHERE c.n_common_shingles / CAST(s.n_bench_sh AS DOUBLE) >= 0.2
 # engines) because the synthetic corpus is single-line and PII-free —
 # the checks would otherwise be vacuous (round-1 lesson).
 # =====================================================================
-# newline after every 3 tokens → multi-line docs with plausible dup lines
-_REPETITION_LINES_PAT = r"((\S+\s+){3})"
+# newline after every 3 tokens → multi-line docs with plausible dup
+# lines; explicit classes (textstats.WS_CHARS), not \S/\s, so the Spark
+# (Java) and DuckDB (RE2) injections are char-for-char identical
+def _repetition_lines_pat() -> str:
+    from etl_reconciliate_spark.operators.textstats import NWS_RE, WS_RE
+
+    return rf"(({NWS_RE}+{WS_RE}+){{3}})"
 
 
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1253,7 +1270,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").withColumn(
         "text",
         F.regexp_replace(
-            F.coalesce(F.col("text"), F.lit("")), _REPETITION_LINES_PAT, "$1\n"
+            F.coalesce(F.col("text"), F.lit("")), _repetition_lines_pat(), "$1\n"
         ),
     )
     return with_repetition(docs)
@@ -1264,7 +1281,8 @@ def _sql_text_repetition() -> str:
 
     src = (
         "SELECT doc_id, regexp_replace(coalesce(text, ''), "
-        r"'((\S+\s+){3})', '\1' || chr(10), 'g') AS text FROM documents"
+        rf"'{_repetition_lines_pat()}', '\1' || chr(10), 'g') AS text "
+        "FROM documents"
     )
     return repetition_oracle_sql(src)
 
@@ -2347,7 +2365,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": _sql_curate(),
         "simhash_pairs": _sql_simhash_pairs(),
         "pack_sequences": _sql_pack_sequences(),
-        "contamination_pairs": SQL_CONTAMINATION,
+        "contamination_pairs": _sql_contamination(),
         "text_repetition": _sql_text_repetition(),
         "pii_scrub": _sql_pii_scrub(),
         "sampling_splits": _sql_sampling_splits(),

@@ -17,7 +17,14 @@ from pyspark.sql import functions as F, types as T
 @F.pandas_udf(T.BooleanType())
 def texts_equal_normalized(a: pd.Series, b: pd.Series) -> pd.Series:
     """Equality after whitespace collapse + strip — tolerant comparison
-    for transcript text that crossed two serialization paths."""
+    for transcript text that crossed two serialization paths.
+
+    Pandas ``\\s`` here is Python-Unicode whitespace (NBSP, U+2028, …),
+    deliberately BROADER than the ASCII class ``textstats.WS_CHARS``
+    pins for oracle-paired operators: this comparator is a tolerance
+    knob with no DuckDB mirror (the recon oracle pairs only with the
+    ``exact`` comparator), and serialization paths differ exactly in
+    exotic whitespace — collapsing more of it is the point."""
     na = a.str.replace(r"\s+", " ", regex=True).str.strip()
     nb = b.str.replace(r"\s+", " ", regex=True).str.strip()
     both_null = a.isna() & b.isna()

@@ -114,6 +114,7 @@ def contamination_pairs(
     benchmark: DataFrame,
     k: int = 8,
     min_overlap_frac: float = 0.3,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Benchmark-contamination detection: (train_id, bench_id,
     n_common_shingles, overlap_frac) for every (train, benchmark) pair
@@ -135,17 +136,29 @@ def contamination_pairs(
     shingles, never |train| × |bench| — and the benchmark side of a real
     run is small (eval suites), so both its shingle frame and its
     per-doc sizes broadcast; the train side streams through one shuffle.
+    ``broadcast=False`` is the escape hatch for a benchmark frame too
+    large for executor memory (same pattern as
+    ``reconcile.recon_incremental``): the shingle join then plans as a
+    regular shuffle join.
     """
     t_sh = char_shingles(train, k).withColumnRenamed("doc_id", "train_id")
     b_sh = char_shingles(benchmark, k).withColumnRenamed("doc_id", "bench_id")
     b_sizes = b_sh.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_bench_sh"))
+    # the benchmark shingle frame is hinted too (not just b_sizes): the
+    # shingle join is the expensive one, and broadcasting the eval-suite
+    # side means the 100 TB train shingle frame never shuffles on the
+    # shingle value at all — its only wide exchange is the pair groupBy,
+    # which is bounded by matched pairs (r5 batch review: the docstring
+    # claimed this shape but only b_sizes carried the hint)
+    if broadcast:
+        b_sh, b_sizes = F.broadcast(b_sh), F.broadcast(b_sizes)
     common = (
         t_sh.join(b_sh, "shingle")
         .groupBy("train_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_common_shingles"))
     )
     return (
-        common.join(F.broadcast(b_sizes), "bench_id")
+        common.join(b_sizes, "bench_id")
         .withColumn(
             "overlap_frac", F.col("n_common_shingles") / F.col("n_bench_sh")
         )

@@ -145,9 +145,14 @@ def curate_corpus(
     # the surviving frame already carries them, so callers that need the
     # text avoid a second full-table join just to re-attach it (r4
     # review: jobs/corpus_job re-scanned and re-shuffled the whole
-    # documents table for exactly that)
+    # documents table for exactly that). Filtered against the four
+    # standard outputs like `extra` above, or keep_cols=("n_tokens",)
+    # would emit a duplicate-named column and break any downstream
+    # reference with AMBIGUOUS_REFERENCE (r5 batch review).
+    std = ("doc_id", "lang_pred", "n_tokens", "quality_score")
+    ride = [c for c in keep_cols if c not in std]
     return exact.join(near_dup_drop, "doc_id", "left_anti").select(
-        "doc_id", "lang_pred", "n_tokens", "quality_score", *keep_cols
+        *std, *ride
     )
 
 

@@ -403,12 +403,15 @@ def incremental_lsh_jaccard_pairs(
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     """32-bit SimHash over whitespace tokens: bit j is the sign of
     Σ_tokens (2·bit_j(hash32(token)) − 1). Near-dups share low hamming
-    distance. One explode + one groupBy with `bits` conditional sums."""
-    norm = F.lower(
-        F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "))
-    )
+    distance. One explode + one groupBy with `bits` conditional sums.
+    Tokens come from the SHARED ``textstats.normalized_text``
+    normalization (r5 batch review: this was the one remaining inline
+    copy — a normalization edit would have silently left SimHash
+    signatures computed on different text than shingles/fingerprints)."""
+    from etl_reconciliate_spark.operators.textstats import normalized_text
+
     toks = docs.select(
-        "doc_id", F.explode(F.split(norm, " ")).alias("tok")
+        "doc_id", F.explode(F.split(normalized_text(text_col), " ")).alias("tok")
     ).filter(F.length("tok") > 0)
     h = hash32(F.col("tok"))
     aggs = [

@@ -48,22 +48,23 @@ def with_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
       counts with the bigram, as in the Gopher definition);
     * ``repetitive`` (bool) — any Gopher threshold exceeded.
     """
-    from etl_reconciliate_spark.operators.textstats import token_array
+    from etl_reconciliate_spark.operators.textstats import NWS_RE, token_array
 
     t = F.coalesce(F.col(text_col), F.lit(""))
     # token_array is the SHARED tokenization (textstats) — the previous
     # local trim-based split leaked empty-string tokens on tab/newline
     # edges ('\n\n' counted 3 phantom tokens with dup_token_frac 2/3)
     # and could silently diverge from token_count (r5 operator review).
-    # The blank-line test is any-non-whitespace (rlike \S), not
-    # length(trim(x)) — trim strips only spaces, so a tab-only line
+    # The blank-line test is any-non-whitespace (NWS_RE — the explicit
+    # class, not \S, which Java and RE2 define differently around \x0B),
+    # not length(trim(x)) — trim strips only spaces, so a tab-only line
     # used to count as content.
     d = docs.select(
         "doc_id",
         F.length(t).alias("nc"),
         token_array(t).alias("toks"),
         F.filter(
-            F.split(t, "\n"), lambda x: x.rlike(r"\S")
+            F.split(t, "\n"), lambda x: x.rlike(NWS_RE)
         ).alias("lines"),
     )
     d = d.withColumn(
@@ -114,7 +115,7 @@ def repetition_oracle_sql(source_sql: str = "SELECT doc_id, text FROM documents"
     """DuckDB mirror of :func:`with_repetition` over ``source_sql``
     (which must yield ``doc_id, text``). The token array is the shared
     ``textstats.sql_token_array`` mirror."""
-    from etl_reconciliate_spark.operators.textstats import sql_token_array
+    from etl_reconciliate_spark.operators.textstats import NWS_RE, sql_token_array
 
     return rf"""
 WITH src AS ({source_sql}),
@@ -123,7 +124,7 @@ base AS (
     length(coalesce(text, '')) AS nc,
     {sql_token_array("coalesce(text, '')")} AS toks,
     list_filter(string_split(coalesce(text, ''), chr(10)),
-                x -> regexp_matches(x, '\S')) AS lines
+                x -> regexp_matches(x, '{NWS_RE}')) AS lines
   FROM src
 ), b AS (
   SELECT *, CASE WHEN len(toks) >= 2 THEN

@@ -12,6 +12,24 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 # ---------------------------------------------------------------- tokens
 
+# Whitespace spelled out as an explicit class instead of \s: Java regex
+# (Spark) and Python re both define \s as [ \t\n\x0B\f\r], but RE2
+# (DuckDB's engine) EXCLUDES \x0B — a vertical-tab-bearing document
+# would tokenize differently between an operator and its oracle, and
+# between Spark and any RE2-based consumer at 100 TB. Both engines
+# interpret the hex/control escapes in a class identically, so the
+# explicit class pins one semantics everywhere (r5 batch review).
+WS_CHARS = r" \t\n\x0B\f\r"
+WS_RE = rf"[{WS_CHARS}]"
+NWS_RE = rf"[^{WS_CHARS}]"
+
+# Bump when tokenization/normalization semantics change: persisted
+# aggregates of token counts (jobs/rollup_job.py) record this version
+# and force a full rebuild on mismatch — an incremental refresh would
+# otherwise mix cells computed under two different tokenizers.
+TOKENIZER_VERSION = 2
+
+
 def _ws_stripped(col: Column) -> Column:
     """``col`` with ALL leading/trailing whitespace removed (null → '').
 
@@ -19,7 +37,9 @@ def _ws_stripped(col: Column) -> Column:
     used to leak empty-string tokens into the split ('\\thello' counted
     2 tokens, a lone '\\n' counted 2) — phantom tokens that inflated
     quality gates and pack_sequences offsets (r5 operator review)."""
-    return F.regexp_replace(F.coalesce(col, F.lit("")), r"^\s+|\s+$", "")
+    return F.regexp_replace(
+        F.coalesce(col, F.lit("")), rf"^{WS_RE}+|{WS_RE}+$", ""
+    )
 
 
 def token_array(col: Column) -> Column:
@@ -29,7 +49,7 @@ def token_array(col: Column) -> Column:
     diverge between them."""
     t = _ws_stripped(col)
     return F.when(F.length(t) == 0, F.expr("array()")).otherwise(
-        F.split(t, r"\s+")
+        F.split(t, rf"{WS_RE}+")
     )
 
 
@@ -41,10 +61,10 @@ def token_count(col: Column) -> Column:
 def sql_token_array(expr: str) -> str:
     """DuckDB mirror of :func:`token_array` over a string SQL ``expr``
     (which must already be null-coalesced)."""
-    s = rf"regexp_replace({expr}, '^\s+|\s+$', '', 'g')"
+    s = f"regexp_replace({expr}, '^{WS_RE}+|{WS_RE}+$', '', 'g')"
     return (
         f"CASE WHEN length({s}) = 0 THEN [] "
-        rf"ELSE string_split_regex({s}, '\s+') END"
+        f"ELSE string_split_regex({s}, '{WS_RE}+') END"
     )
 
 
@@ -64,7 +84,7 @@ def bpe_ish_token_count(col: Column) -> Column:
     # no lookahead so the DuckDB (RE2) oracle can mirror it exactly.
     marked = F.regexp_replace(
         t,
-        r"([0-9])([^0-9\s])|([a-zA-Z])([0-9])|([^\s0-9a-zA-Z])",
+        rf"([0-9])([^0-9{WS_CHARS}])|([a-zA-Z])([0-9])|([^{WS_CHARS}0-9a-zA-Z])",
         r"$1$3$5 $2$4",
     )
     return token_count(marked)
@@ -269,10 +289,22 @@ def normalized_text(text_col: str = "text") -> Column:
     with_fingerprint's norm_len both derive from it, so an edit to the
     normalization cannot leave them computed on different text (r5
     operator review; ``trim`` alone is sufficient here because the
-    collapse already turned every edge whitespace run into a space)."""
+    collapse already turned every edge whitespace run into a space).
+    :func:`sql_normalized_text` is the DuckDB mirror."""
     return F.lower(
-        F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "))
+        F.trim(
+            F.regexp_replace(
+                F.coalesce(F.col(text_col), F.lit("")), rf"{WS_RE}+", " "
+            )
+        )
     )
+
+
+def sql_normalized_text(expr: str = "coalesce(text, '')") -> str:
+    """DuckDB mirror of :func:`normalized_text` over a string SQL
+    ``expr`` (which must already be null-coalesced) — ONE copy instead
+    of the six the oracle suite used to inline."""
+    return f"lower(trim(regexp_replace({expr}, '{WS_RE}+', ' ', 'g')))"
 
 
 def fingerprint_column(text_col: str = "text") -> Column:
@@ -293,9 +325,9 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-FINGERPRINT_ORACLE_SQL = r"""
+FINGERPRINT_ORACLE_SQL = f"""
 SELECT doc_id,
-  md5(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))) AS fingerprint,
-  length(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))) AS norm_len
+  md5({sql_normalized_text()}) AS fingerprint,
+  length({sql_normalized_text()}) AS norm_len
 FROM documents
 """

@@ -97,16 +97,31 @@ def main() -> int:
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             prior_meta = json.load(f)
+    from etl_reconciliate_spark.operators.textstats import TOKENIZER_VERSION
+
     meta = None  # the refresh base, only when refreshing is possible
+    measure_changed = False
     if args.refresh and prior_meta is not None:
         meta = prior_meta
         if tuple(meta["grains"]) != grains or tuple(meta["key_cols"]) != key_cols:
             print(json.dumps({"error": "existing rollup has different "
                               "grains/key_cols; rebuild without --refresh"}))
             return 1
+        if meta.get("measure_version") != TOKENIZER_VERSION:
+            # the tokenizer the measure derives from changed semantics
+            # since this rollup was built: an incremental refresh would
+            # recompute only dirty cells under the NEW tokenizer while
+            # untouched cells keep OLD counts — the rollup would no
+            # longer equal a fresh build (refresh == rebuild is the
+            # job's core guarantee). Degrade to a full rebuild, same as
+            # an expired base (r5 batch review).
+            measure_changed = True
+            meta = None
 
     out = {"to_version": to_version, "grains": list(grains),
            "key_cols": list(key_cols)}
+    if measure_changed:
+        out["mode"] = "rebuild_measure_changed"
     os.makedirs(args.rollup_dir, exist_ok=True)
     from etl_reconciliate_spark.target.maintenance import (
         claim_build_dir,
@@ -209,7 +224,7 @@ def main() -> int:
     swap_meta_pointer(meta_path, {
         "table_version": to_version, "grains": list(grains),
         "key_cols": list(key_cols), "data_dir": data_dir,
-        "rollup_rows": rows,
+        "rollup_rows": rows, "measure_version": TOKENIZER_VERSION,
     })
     release_build_claim(build_claim, data_dir)  # live now — meta-kept
     # sweep data-v* dirs the fresh meta no longer points at — the prior

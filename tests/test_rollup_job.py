@@ -139,6 +139,42 @@ def test_rollup_refresh_expired_base_rebuilds(spark, tmp_path, capsys,
     assert _rollup_rows(spark, rdir) == _rollup_rows(spark, fresh)
 
 
+def test_rollup_refresh_measure_version_mismatch_rebuilds(
+        spark, tmp_path, capsys, monkeypatch):
+    """A rollup built under a different tokenizer version must NOT be
+    refreshed incrementally — dirty cells would carry new-tokenizer
+    counts next to untouched old-tokenizer cells, breaking the
+    refresh == rebuild guarantee. --refresh degrades to a full rebuild
+    (r5 batch review)."""
+    tbl = TargetTable(spark, str(tmp_path / "t"), n_buckets=2, mode="mor")
+    tbl.init(SCHEMA)
+    tbl.merge_apply(spark.createDataFrame(
+        [(1, "I", "c1", 0, "user", "hello there", _ts(0))], BATCH),
+        {"lsn_hi": 1})
+    rdir = str(tmp_path / "rollup")
+    _run(monkeypatch, capsys, "--target", tbl.path, "--rollup-dir", rdir)
+    # simulate a rollup persisted by an older engine build
+    meta_path = f"{rdir}/{rollup_job.META_NAME}"
+    meta = json.load(open(meta_path))
+    meta["measure_version"] = meta.get("measure_version", 0) - 1
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    tbl.merge_apply(spark.createDataFrame(
+        [(2, "I", "c2", 0, "user", "bye now", _ts(1))], BATCH),
+        {"lsn_hi": 2})
+    out = _run(monkeypatch, capsys, "--target", tbl.path,
+               "--rollup-dir", rdir, "--refresh")
+    assert out["mode"] == "rebuild_measure_changed"
+    # the rebuild stamps the CURRENT version, so the next refresh is
+    # incremental again
+    noop = _run(monkeypatch, capsys, "--target", tbl.path,
+                "--rollup-dir", rdir, "--refresh")
+    assert noop["mode"] == "refresh" and noop["dirty_cells"] == 0
+    fresh = str(tmp_path / "fresh")
+    _run(monkeypatch, capsys, "--target", tbl.path, "--rollup-dir", fresh)
+    assert _rollup_rows(spark, rdir) == _rollup_rows(spark, fresh)
+
+
 def test_rollup_rebuild_cleans_previous_data_dir(spark, tmp_path, capsys,
                                                  monkeypatch):
     """A rebuild over an existing rollup must remove the superseded
