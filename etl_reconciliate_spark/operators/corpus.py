@@ -172,11 +172,16 @@ def decontaminate(
     benchmark: DataFrame,
     k: int = 8,
     min_overlap_frac: float = 0.3,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Drop every train document flagged by :func:`contamination_pairs`.
-    Returns the surviving train rows unchanged."""
+    Returns the surviving train rows unchanged. ``broadcast`` passes
+    through to :func:`contamination_pairs` — the escape hatch must be
+    reachable from this public wrapper too, or a benchmark frame too
+    large to broadcast would force the OOM with no opt-out."""
     flagged = contamination_pairs(
-        train, benchmark, k=k, min_overlap_frac=min_overlap_frac
+        train, benchmark, k=k, min_overlap_frac=min_overlap_frac,
+        broadcast=broadcast,
     ).select(F.col("train_id").alias("doc_id")).distinct()
     return train.join(flagged, "doc_id", "left_anti")
 

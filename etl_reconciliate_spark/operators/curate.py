@@ -148,8 +148,10 @@ def curate_corpus(
     # documents table for exactly that). Filtered against the four
     # standard outputs like `extra` above, or keep_cols=("n_tokens",)
     # would emit a duplicate-named column and break any downstream
-    # reference with AMBIGUOUS_REFERENCE (r5 batch review).
-    std = ("doc_id", "lang_pred", "n_tokens", "quality_score")
+    # reference with AMBIGUOUS_REFERENCE (r5 batch review). Derived
+    # from base_cols (text is the one gated input NOT emitted unless
+    # asked for via keep_cols) so the two lists cannot drift.
+    std = tuple(c for c in base_cols if c != "text")
     ride = [c for c in keep_cols if c not in std]
     return exact.join(near_dup_drop, "doc_id", "left_anti").select(
         *std, *ride

@@ -13,12 +13,16 @@ from pyspark.sql import Column, DataFrame, functions as F
 # ---------------------------------------------------------------- tokens
 
 # Whitespace spelled out as an explicit class instead of \s: Java regex
-# (Spark) and Python re both define \s as [ \t\n\x0B\f\r], but RE2
-# (DuckDB's engine) EXCLUDES \x0B — a vertical-tab-bearing document
-# would tokenize differently between an operator and its oracle, and
-# between Spark and any RE2-based consumer at 100 TB. Both engines
-# interpret the hex/control escapes in a class identically, so the
-# explicit class pins one semantics everywhere (r5 batch review).
+# (Spark) defines \s as [ \t\n\x0B\f\r], but RE2 (DuckDB's engine)
+# EXCLUDES \x0B — a vertical-tab-bearing document would tokenize
+# differently between an operator and its oracle, and between Spark and
+# any RE2-based consumer at 100 TB. (Python re is different again: on
+# str its \s is full UNICODE whitespace — NBSP, U+2028, … — so never
+# substitute a Python-re \s for this class either; see
+# functions/text.py for the one place that breadth is deliberate.)
+# Both engines interpret the hex/control escapes in a class
+# identically, so the explicit class pins one semantics everywhere
+# (r5 batch review).
 WS_CHARS = r" \t\n\x0B\f\r"
 WS_RE = rf"[{WS_CHARS}]"
 NWS_RE = rf"[^{WS_CHARS}]"

@@ -164,3 +164,36 @@ def test_dedup_index_job_pairs_out_and_orphan_sweep(
     pairs = {(r.doc_a, r.doc_b) for r in spark.read.parquet(pdir).collect()}
     assert pairs == {("c1", "c2")}
     assert not os.path.exists(os.path.join(idir, "data-v999999"))
+
+
+def test_dedup_index_job_measure_version_mismatch_rebuilds(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """An index persisted under a different tokenizer version must not
+    be refreshed incrementally — fresh band rows hashed under the new
+    normalization would sit next to stale rows hashed under the old
+    one, and identical text would stop colliding (r5 batch review).
+    --refresh degrades to a full rebuild and restamps the version."""
+    tbl = TargetTable(spark, str(tmp_path / "t"), n_buckets=2, mode="mor")
+    tbl.init(SCHEMA)
+    tbl.merge_apply(spark.createDataFrame([
+        (1, "I", "c1", 0, "user", LONG, T0),
+    ], BATCH), {"lsn_hi": 1})
+    idir = str(tmp_path / "idx")
+    _run(monkeypatch, capsys, "--target", tbl.path, "--index-dir", idir)
+    meta_path = f"{idir}/{dedup_index_job.META_NAME}"
+    meta = json.load(open(meta_path))
+    meta["measure_version"] = meta.get("measure_version", 0) - 1
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    tbl.merge_apply(spark.createDataFrame([
+        (2, "I", "c2", 0, "user", LONG + " tail", T0),
+    ], BATCH), {"lsn_hi": 2})
+    out = _run(monkeypatch, capsys, "--target", tbl.path,
+               "--index-dir", idir, "--refresh")
+    assert out["mode"] == "rebuild_measure_changed"
+    assert _index_docs(spark, idir) == {"c1", "c2"}
+    # restamped: the next refresh is incremental again
+    noop = _run(monkeypatch, capsys, "--target", tbl.path,
+                "--index-dir", idir, "--refresh")
+    assert noop["mode"] == "refresh" and noop["changed_docs"] == 0
