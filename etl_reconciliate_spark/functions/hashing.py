@@ -16,6 +16,14 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
+# Bump when ANY hash semantics here change (hash32/hash60 base or the
+# minhash affine family): every persisted artifact whose rows embed
+# these hashes (the dedup band index's band_hash values) becomes
+# incompatible with freshly-computed ones, exactly like a tokenizer
+# change — see operators/dedupe_docs.SIGNATURE_VERSION, which folds
+# this constant into the version the index job stamps and checks.
+HASH_FAMILY_VERSION = 1
+
 
 def hash32(col: Column, seed: int | None = None) -> Column:
     """Deterministic unsigned 32-bit hash of a column (as long)."""

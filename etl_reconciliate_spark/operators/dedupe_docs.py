@@ -25,8 +25,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from etl_reconciliate_spark.functions.hashing import hash32
-from etl_reconciliate_spark.operators.textstats import with_fingerprint
+from etl_reconciliate_spark.functions.hashing import (
+    HASH_FAMILY_VERSION,
+    hash32,
+)
+from etl_reconciliate_spark.operators.textstats import (
+    TOKENIZER_VERSION,
+    with_fingerprint,
+)
+
+# The full semantics a persisted band-signature index depends on: text
+# normalization (tokenizer) AND the hash family. A change to EITHER
+# makes freshly-hashed rows stop colliding with persisted ones, so the
+# index job stamps this combined version and degrades an incremental
+# --refresh to a full rebuild on mismatch (k/bands/rows_per_band are
+# checked separately — they're per-index params, not code semantics).
+SIGNATURE_VERSION = f"tok{TOKENIZER_VERSION}-hash{HASH_FAMILY_VERSION}"
 
 # ---------------------------------------------------------------- exact
 

@@ -27,10 +27,15 @@ WS_CHARS = r" \t\n\x0B\f\r"
 WS_RE = rf"[{WS_CHARS}]"
 NWS_RE = rf"[^{WS_CHARS}]"
 
-# Bump when tokenization/normalization semantics change: persisted
-# aggregates of token counts (jobs/rollup_job.py) record this version
-# and force a full rebuild on mismatch — an incremental refresh would
-# otherwise mix cells computed under two different tokenizers.
+# Bump when tokenization/normalization semantics change. Every
+# persisted artifact derived from this module's text semantics records
+# a version and forces a full rebuild on mismatch (an incremental
+# refresh would mix rows computed under two tokenizers): the token-
+# count rollup (jobs/rollup_job.py) stamps this constant directly; the
+# dedup band index (jobs/dedup_index_job.py) stamps
+# dedupe_docs.SIGNATURE_VERSION, which folds this constant together
+# with hashing.HASH_FAMILY_VERSION. The guard contract lives in
+# target/maintenance.measure_changed.
 TOKENIZER_VERSION = 2
 
 

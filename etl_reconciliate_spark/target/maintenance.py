@@ -202,6 +202,27 @@ def swap_meta_pointer(meta_path: str, meta: dict) -> None:
         mark_retired(prior_dir)
 
 
+def measure_changed(prior_meta: dict, expected) -> bool:
+    """True when a persisted derived artifact (rollup, dedup band
+    index) was built under DIFFERENT measurement semantics than the
+    current code — the caller must degrade an incremental ``--refresh``
+    to a full rebuild.
+
+    Refreshing across a semantics change silently breaks the
+    refresh == rebuild guarantee both maintenance jobs advertise: a
+    rollup would recompute only dirty cells under the new tokenizer
+    while untouched cells keep old counts, and a band index would union
+    rows hashed under the new family next to stale rows so identical
+    text stops colliding and near-dup candidates are lost. ``expected``
+    is whatever version constant defines the artifact's semantics
+    (textstats.TOKENIZER_VERSION for token-count rollups,
+    dedupe_docs.SIGNATURE_VERSION — tokenizer × hash family — for the
+    band index); the job stamps the same value back on every publish
+    via :func:`swap_meta_pointer`.
+    """
+    return prior_meta.get("measure_version") != expected
+
+
 def sweep_stale_data_dirs(root: str, meta_path: str,
                           keep_dir: str | None = None,
                           grace_secs: float = 300.0) -> None:

@@ -45,6 +45,12 @@ def main() -> int:
     ap.add_argument("--langs", default="en")
     ap.add_argument("--jaccard-threshold", type=float, default=0.5)
     ap.add_argument("--contamination-frac", type=float, default=0.3)
+    ap.add_argument("--no-broadcast-benchmark", action="store_true",
+                    help="shuffle-join the benchmark shingle set instead "
+                    "of broadcasting it — required when the benchmark "
+                    "corpus is too large for executor memory (the "
+                    "decontaminate() escape hatch, reachable from "
+                    "spark-submit; r5 batch review)")
     ap.add_argument("--budget-tokens", type=int, default=2048)
     ap.add_argument("--shards", type=int, default=64)
     ap.add_argument("--seed", type=int, default=7, help="split seed")
@@ -90,7 +96,8 @@ def main() -> int:
         bench = spark.read.parquet(args.benchmark)
         pre_decontam = curated
         curated = decontaminate(
-            curated, bench, min_overlap_frac=args.contamination_frac
+            curated, bench, min_overlap_frac=args.contamination_frac,
+            broadcast=not args.no_broadcast_benchmark,
         ).persist(StorageLevel.DISK_ONLY)
         n_decontaminated = curated.count()
         # the count above fully materialized the decontaminated copy —

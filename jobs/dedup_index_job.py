@@ -110,11 +110,14 @@ def main() -> int:
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             prior_meta = json.load(f)
-    from etl_reconciliate_spark.operators.textstats import TOKENIZER_VERSION
+    from etl_reconciliate_spark.operators.dedupe_docs import (
+        SIGNATURE_VERSION,
+    )
+    from etl_reconciliate_spark.target.maintenance import measure_changed
 
     meta = None
     expired = False
-    measure_changed = False
+    remeasured = False
     if args.refresh and prior_meta is not None:
         meta = prior_meta
         if {k: meta.get(k) for k in params} != params:
@@ -122,16 +125,12 @@ def main() -> int:
                               "k/bands/rows_per_band; rebuild without "
                               "--refresh"}))
             return 1
-        if meta.get("measure_version") != TOKENIZER_VERSION:
-            # band signatures derive from textstats' shared text
-            # normalization: refreshing an index built under a
-            # different tokenizer would union rows hashed under the
-            # NEW normalization next to unchanged docs' rows hashed
-            # under the OLD one — identical text would stop colliding
-            # into the same bands and near-dup candidates would be
-            # silently lost. Same degradation as the rollup job's
-            # measure guard: full rebuild (r5 batch review).
-            measure_changed = True
+        if measure_changed(meta, SIGNATURE_VERSION):
+            # tokenizer OR hash family changed since this index was
+            # built (SIGNATURE_VERSION folds both — a hash-family bump
+            # alone de-collides every band): full rebuild, rationale in
+            # maintenance.measure_changed (r5 batch review ×2).
+            remeasured = True
             meta = None
     if meta is not None:
         try:
@@ -188,7 +187,7 @@ def main() -> int:
         # label fired false expiry alarms on intentional rebuilds)
         out["mode"] = ("build" if prior_meta is None
                        else "rebuild_expired_base" if expired
-                       else "rebuild_measure_changed" if measure_changed
+                       else "rebuild_measure_changed" if remeasured
                        else "rebuild")
         docs = _docs_frame(tbl.read(version=to_version))
         idx = build_index(docs)
@@ -302,7 +301,7 @@ def main() -> int:
     swap_meta_pointer(meta_path, {
         "table_version": to_version, **params,
         "data_dir": data_dir, "index_rows": rows,
-        "measure_version": TOKENIZER_VERSION,
+        "measure_version": SIGNATURE_VERSION,
     })
     release_build_claim(build_claim, data_dir)  # live now — meta-kept
     # sweep data-v* dirs the fresh meta no longer points at — the prior

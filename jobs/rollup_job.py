@@ -98,29 +98,28 @@ def main() -> int:
         with open(meta_path) as f:
             prior_meta = json.load(f)
     from etl_reconciliate_spark.operators.textstats import TOKENIZER_VERSION
+    from etl_reconciliate_spark.target.maintenance import measure_changed
 
     meta = None  # the refresh base, only when refreshing is possible
-    measure_changed = False
+    remeasured = False
     if args.refresh and prior_meta is not None:
         meta = prior_meta
         if tuple(meta["grains"]) != grains or tuple(meta["key_cols"]) != key_cols:
             print(json.dumps({"error": "existing rollup has different "
                               "grains/key_cols; rebuild without --refresh"}))
             return 1
-        if meta.get("measure_version") != TOKENIZER_VERSION:
-            # the tokenizer the measure derives from changed semantics
-            # since this rollup was built: an incremental refresh would
-            # recompute only dirty cells under the NEW tokenizer while
-            # untouched cells keep OLD counts — the rollup would no
-            # longer equal a fresh build (refresh == rebuild is the
-            # job's core guarantee). Degrade to a full rebuild, same as
-            # an expired base (r5 batch review).
-            measure_changed = True
+        if measure_changed(meta, TOKENIZER_VERSION):
+            # the tokenizer the n_tokens measure derives from changed
+            # semantics since this rollup was built (token counts don't
+            # depend on the hash family, so TOKENIZER_VERSION alone is
+            # the right key here): full rebuild, rationale in
+            # maintenance.measure_changed (r5 batch review).
+            remeasured = True
             meta = None
 
     out = {"to_version": to_version, "grains": list(grains),
            "key_cols": list(key_cols)}
-    if measure_changed:
+    if remeasured:
         out["mode"] = "rebuild_measure_changed"
     os.makedirs(args.rollup_dir, exist_ok=True)
     from etl_reconciliate_spark.target.maintenance import (

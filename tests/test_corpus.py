@@ -169,3 +169,42 @@ def test_conversations_to_documents_order_and_nulls(spark):
     assert got["c1"]["n_turns"] == 4
     assert got["c1"]["n_chars"] == len(got["c1"]["doc_text"])
     assert got["c2"]["doc_text"] == "user: solo" and got["c2"]["n_turns"] == 1
+
+
+def test_corpus_job_cli_no_broadcast_benchmark(
+    spark, docs, tmp_path, capsys, monkeypatch
+):
+    """--no-broadcast-benchmark reaches decontaminate(broadcast=False)
+    from the spark-submit surface (r5 batch review: the operator-level
+    escape hatch was unreachable from the only runnable entrypoint) and
+    the shuffle-join path drops exactly the same docs as broadcast."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import corpus_job
+    finally:
+        sys.path.pop(0)
+
+    bench_path = str(tmp_path / "bench")
+    docs.filter(F.col("doc_id") % 10 == 0).write.parquet(bench_path)
+    outs = {}
+    for label, extra in (("bcast", []),
+                         ("shuffle", ["--no-broadcast-benchmark"])):
+        out = str(tmp_path / f"corpus_{label}")
+        monkeypatch.setattr(sys, "argv", [
+            "corpus_job.py", "--docs", DOCS, "--out", out,
+            "--benchmark", bench_path, "--budget-tokens", "256",
+            "--shards", "2", *extra,
+        ])
+        assert corpus_job.main() == 0
+        stats = json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1])
+        outs[label] = (
+            stats["docs_after_decontamination"],
+            {r.doc_id for r in
+             spark.read.parquet(out).select("doc_id").collect()},
+        )
+    assert outs["bcast"] == outs["shuffle"]
+    assert 0 < outs["bcast"][0] < docs.count()

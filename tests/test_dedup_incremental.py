@@ -169,11 +169,14 @@ def test_dedup_index_job_pairs_out_and_orphan_sweep(
 def test_dedup_index_job_measure_version_mismatch_rebuilds(
     spark, tmp_path, capsys, monkeypatch
 ):
-    """An index persisted under a different tokenizer version must not
+    """An index persisted under different signature semantics
+    (tokenizer OR hash family — SIGNATURE_VERSION folds both) must not
     be refreshed incrementally — fresh band rows hashed under the new
-    normalization would sit next to stale rows hashed under the old
-    one, and identical text would stop colliding (r5 batch review).
-    --refresh degrades to a full rebuild and restamps the version."""
+    semantics would sit next to stale rows hashed under the old ones,
+    and identical text would stop colliding (r5 batch review ×2).
+    --refresh degrades to a full rebuild and restamps the version.
+    Also covers the legacy int-stamped meta (pre-SIGNATURE_VERSION
+    indexes carried TOKENIZER_VERSION): any non-equal stamp rebuilds."""
     tbl = TargetTable(spark, str(tmp_path / "t"), n_buckets=2, mode="mor")
     tbl.init(SCHEMA)
     tbl.merge_apply(spark.createDataFrame([
@@ -183,7 +186,12 @@ def test_dedup_index_job_measure_version_mismatch_rebuilds(
     _run(monkeypatch, capsys, "--target", tbl.path, "--index-dir", idir)
     meta_path = f"{idir}/{dedup_index_job.META_NAME}"
     meta = json.load(open(meta_path))
-    meta["measure_version"] = meta.get("measure_version", 0) - 1
+    from etl_reconciliate_spark.operators.dedupe_docs import (
+        SIGNATURE_VERSION,
+    )
+
+    assert meta["measure_version"] == SIGNATURE_VERSION
+    meta["measure_version"] = 2  # a legacy tokenizer-only int stamp
     with open(meta_path, "w") as f:
         json.dump(meta, f)
     tbl.merge_apply(spark.createDataFrame([
