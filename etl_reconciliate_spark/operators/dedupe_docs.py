@@ -34,13 +34,25 @@ from etl_reconciliate_spark.operators.textstats import (
     with_fingerprint,
 )
 
+# Bump when banded_signature's band-hash scheme changes (the md5 over
+# '_'-joined signature values, or the band/column layout). It is a
+# third semantic input to the persisted index, OUTSIDE hashing.py's
+# seam: swapping hashing.py's md5 for xxhash64 bumps
+# HASH_FAMILY_VERSION, but the band digest here would silently keep
+# stamping the same version without this constant.
+BANDING_VERSION = 1
+
 # The full semantics a persisted band-signature index depends on: text
-# normalization (tokenizer) AND the hash family. A change to EITHER
-# makes freshly-hashed rows stop colliding with persisted ones, so the
-# index job stamps this combined version and degrades an incremental
-# --refresh to a full rebuild on mismatch (k/bands/rows_per_band are
-# checked separately — they're per-index params, not code semantics).
-SIGNATURE_VERSION = f"tok{TOKENIZER_VERSION}-hash{HASH_FAMILY_VERSION}"
+# normalization (tokenizer), the hash family, AND the banding scheme.
+# A change to ANY of the three makes freshly-hashed rows stop colliding
+# with persisted ones, so the index job stamps this combined version
+# and degrades an incremental --refresh to a full rebuild on mismatch
+# (k/bands/rows_per_band are checked separately — they're per-index
+# params, not code semantics).
+SIGNATURE_VERSION = (
+    f"tok{TOKENIZER_VERSION}-hash{HASH_FAMILY_VERSION}"
+    f"-band{BANDING_VERSION}"
+)
 
 # ---------------------------------------------------------------- exact
 
@@ -151,7 +163,9 @@ def banded_signature(
     """Band a minhash signature into (doc_id, band, bh) rows — the
     persistable LSH BAND INDEX shape (one row per doc per band; bh is
     the md5 of the band's hash values). ``jobs/dedup_index_job`` writes
-    this frame as the corpus index that incremental dedup probes."""
+    this frame as the corpus index that incremental dedup probes.
+    Changing the bh digest or layout requires a BANDING_VERSION bump —
+    persisted indexes carry the stamp and must stop refreshing."""
     bands = []
     for b_ in range(n_bands):
         cols = [F.col(f"h{b_ * rows_per_band + r}") for r in range(rows_per_band)]

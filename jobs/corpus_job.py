@@ -45,12 +45,13 @@ def main() -> int:
     ap.add_argument("--langs", default="en")
     ap.add_argument("--jaccard-threshold", type=float, default=0.5)
     ap.add_argument("--contamination-frac", type=float, default=0.3)
+    # exposes decontaminate()'s broadcast escape hatch on the runnable
+    # surface — without it an over-large benchmark frame OOMs executors
+    # with no opt-out (r5 batch review)
     ap.add_argument("--no-broadcast-benchmark", action="store_true",
                     help="shuffle-join the benchmark shingle set instead "
-                    "of broadcasting it — required when the benchmark "
-                    "corpus is too large for executor memory (the "
-                    "decontaminate() escape hatch, reachable from "
-                    "spark-submit; r5 batch review)")
+                    "of broadcasting it — use when the benchmark corpus "
+                    "is too large for executor memory")
     ap.add_argument("--budget-tokens", type=int, default=2048)
     ap.add_argument("--shards", type=int, default=64)
     ap.add_argument("--seed", type=int, default=7, help="split seed")

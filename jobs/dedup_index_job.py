@@ -90,11 +90,19 @@ def main() -> int:
     spark.sparkContext.setLogLevel("WARN")
 
     from etl_reconciliate_spark.operators.dedupe_docs import (
+        SIGNATURE_VERSION,
         _exact_jaccard,
         char_shingles,
         lsh_jaccard_pairs,
         minhash_band_index,
         probe_band_index,
+    )
+    from etl_reconciliate_spark.target.maintenance import (
+        claim_build_dir,
+        measure_changed,
+        release_build_claim,
+        swap_meta_pointer,
+        sweep_stale_data_dirs,
     )
     from etl_reconciliate_spark.target.table import TargetTable
 
@@ -110,11 +118,6 @@ def main() -> int:
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             prior_meta = json.load(f)
-    from etl_reconciliate_spark.operators.dedupe_docs import (
-        SIGNATURE_VERSION,
-    )
-    from etl_reconciliate_spark.target.maintenance import measure_changed
-
     meta = None
     expired = False
     remeasured = False
@@ -143,13 +146,6 @@ def main() -> int:
 
     out = {"to_version": to_version, **params}
     os.makedirs(args.index_dir, exist_ok=True)
-    from etl_reconciliate_spark.target.maintenance import (
-        claim_build_dir,
-        release_build_claim,
-        swap_meta_pointer,
-        sweep_stale_data_dirs,
-    )
-
     # start-of-run sweep (r5 review): a crash-looping build otherwise
     # leaves one uniquely-named corpus-sized orphan PER attempt, only
     # collected after two later SUCCESSFUL runs — sweeping up front

@@ -98,7 +98,13 @@ def main() -> int:
         with open(meta_path) as f:
             prior_meta = json.load(f)
     from etl_reconciliate_spark.operators.textstats import TOKENIZER_VERSION
-    from etl_reconciliate_spark.target.maintenance import measure_changed
+    from etl_reconciliate_spark.target.maintenance import (
+        claim_build_dir,
+        measure_changed,
+        release_build_claim,
+        swap_meta_pointer,
+        sweep_stale_data_dirs,
+    )
 
     meta = None  # the refresh base, only when refreshing is possible
     remeasured = False
@@ -122,13 +128,6 @@ def main() -> int:
     if remeasured:
         out["mode"] = "rebuild_measure_changed"
     os.makedirs(args.rollup_dir, exist_ok=True)
-    from etl_reconciliate_spark.target.maintenance import (
-        claim_build_dir,
-        release_build_claim,
-        swap_meta_pointer,
-        sweep_stale_data_dirs,
-    )
-
     # start-of-run sweep (r5 review): a crash-looping build otherwise
     # leaves one uniquely-named corpus-sized orphan PER attempt, only
     # collected after two later SUCCESSFUL runs — sweeping up front

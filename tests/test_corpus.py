@@ -2,6 +2,9 @@
 packing boundary semantics, decontamination. (The driver additionally
 value-checks all three against DuckDB oracles via __spark_entry__.)"""
 
+import os
+import sys
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -11,6 +14,12 @@ from etl_reconciliate_spark.operators.corpus import (
     pack_sequences,
     split_assign,
 )
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+try:
+    import corpus_job
+finally:
+    sys.path.pop(0)
 
 DOCS = "/root/testdata/sf0.001/documents.parquet"
 
@@ -82,12 +91,6 @@ def test_corpus_job_cli(spark, docs, tmp_path, capsys, monkeypatch):
     pack → (split, shard)-partitioned parquet + one JSON stats line."""
     import json
     import sys
-
-    sys.path.insert(0, "/root/repo/jobs")
-    try:
-        import corpus_job
-    finally:
-        sys.path.pop(0)
 
     bench_path = str(tmp_path / "bench")
     docs.filter(F.col("doc_id") % 10 == 0).write.parquet(bench_path)
@@ -175,21 +178,32 @@ def test_corpus_job_cli_no_broadcast_benchmark(
     spark, docs, tmp_path, capsys, monkeypatch
 ):
     """--no-broadcast-benchmark reaches decontaminate(broadcast=False)
-    from the spark-submit surface (r5 batch review: the operator-level
-    escape hatch was unreachable from the only runnable entrypoint) and
-    the shuffle-join path drops exactly the same docs as broadcast."""
+    from the spark-submit surface (r5 batch review ×2: the operator-
+    level escape hatch was unreachable from the only runnable
+    entrypoint) and the shuffle-join path drops exactly the same docs
+    as broadcast. The spy on the operator makes the test fail if the
+    job stops forwarding the kwarg — without it, both runs silently
+    take the broadcast path and the equivalence check passes trivially."""
     import json
     import sys
 
-    sys.path.insert(0, "/root/repo/jobs")
-    try:
-        import corpus_job
-    finally:
-        sys.path.pop(0)
+    from etl_reconciliate_spark.operators import corpus as corpus_ops
+
+    seen_broadcast = []
+    real = corpus_ops.decontaminate
+
+    def spy(*a, **kw):
+        seen_broadcast.append(kw.get("broadcast", True))
+        return real(*a, **kw)
+
+    # corpus_job does `from ...corpus import decontaminate` INSIDE
+    # main(), so patching the module attribute intercepts every run
+    monkeypatch.setattr(corpus_ops, "decontaminate", spy)
 
     bench_path = str(tmp_path / "bench")
     docs.filter(F.col("doc_id") % 10 == 0).write.parquet(bench_path)
     outs = {}
+    stats = {}
     for label, extra in (("bcast", []),
                          ("shuffle", ["--no-broadcast-benchmark"])):
         out = str(tmp_path / f"corpus_{label}")
@@ -206,5 +220,8 @@ def test_corpus_job_cli_no_broadcast_benchmark(
             {r.doc_id for r in
              spark.read.parquet(out).select("doc_id").collect()},
         )
+    assert seen_broadcast == [True, False]  # the flag actually arrived
     assert outs["bcast"] == outs["shuffle"]
-    assert 0 < outs["bcast"][0] < docs.count()
+    # decontamination itself removed docs (bounding by docs_curated —
+    # not docs.count() — so curation losses can't mask a no-op)
+    assert 0 < outs["bcast"][0] < stats["docs_curated"]
