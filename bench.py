@@ -175,6 +175,12 @@ def _bracket_draw(legs_4n: list[dict], legs_n: list[dict], i: int) -> dict:
     }
 
 
+def _median(vals: list[float]) -> float:
+    s = sorted(vals)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else round((s[mid - 1] + s[mid]) / 2, 3)
+
+
 def _n_executors(cpus: int) -> int:
     return max(1, cpus // 8)
 
@@ -235,6 +241,9 @@ def main() -> None:
             # so a third best-of draw costs the same wall as the old
             # 2-bracket block and buys another shot at a clean window
             sc_runs = int(os.environ.get("BENCH_SCALING_RUNS", "3"))
+            # parse EVERY env knob before the ~hour of legs below — a
+            # malformed value must fail fast, not after the work is done
+            sc_retries = int(os.environ.get("BENCH_SCALING_RETRIES", "2"))
             sc_log = _ensure_log(4 * sc_events)
             # pre-warm the page cache (a cold 22 GB first touch would be
             # charged entirely to the first 4N leg — it reads 4× the
@@ -307,24 +316,42 @@ def main() -> None:
             # same A-B-A chain — the previous tail 4N leg becomes the new
             # bracket's "before") for another shot at a clean window.
             # Draws are never discarded: every leg and every bracket
-            # stays in the artifact, retried or not.
-            retries = int(os.environ.get("BENCH_SCALING_RETRIES", "2"))
-            while (max(d["efficiency"] for d in draws) < 0.8
+            # stays in the artifact, retried or not — and a FAILED retry
+            # leg must not erase the planned draws either (each retry is
+            # individually fenced; on failure the accumulated draws ship
+            # with a retry_error note). Honest-stats note: conditionally
+            # adding draws and gating best-of is optional stopping on a
+            # max statistic — it raises the false-pass odds for a truly
+            # sub-0.8 engine, which is why the artifact also ships
+            # efficiency_median over ALL draws and flags retried runs,
+            # so a reader can gate on the location statistic instead.
+            retry_error = None
+            retries = sc_retries
+            while (draws
+                   and max(d["efficiency"] for d in draws) < 0.8
                    and retries > 0):
                 retries -= 1
                 i = len(legs_n)
-                legs_n.append(
-                    _replay_once("local-cluster[1,2,16384]", sc_log,
-                                 f"scn_{i}", conf=sconf,
-                                 extra_args=args_n, events=sc_events)
-                )
-                legs_4n.append(
-                    _replay_once("local-cluster[4,2,16384]", sc_log,
-                                 f"sc4n_{i + 1}", conf=sconf_4n,
-                                 extra_args=args_4n, events=4 * sc_events)
-                )
+                try:
+                    legs_n.append(
+                        _replay_once("local-cluster[1,2,16384]", sc_log,
+                                     f"scn_{i}", conf=sconf,
+                                     extra_args=args_n, events=sc_events)
+                    )
+                    legs_4n.append(
+                        _replay_once("local-cluster[4,2,16384]", sc_log,
+                                     f"sc4n_{i + 1}", conf=sconf_4n,
+                                     extra_args=args_4n,
+                                     events=4 * sc_events)
+                    )
+                except Exception as rexc:  # noqa: BLE001 — keep planned draws
+                    retry_error = str(rexc)[:500]
+                    if len(legs_n) > len(legs_4n) - 1:
+                        legs_n.pop()  # drop the unbracketed N leg
+                    break
                 draws.append(_bracket_draw(legs_4n, legs_n, i))
             best_pair = max(draws, key=lambda d: d["efficiency"])
+            eff_median = _median([d["efficiency"] for d in draws])
             out["scaling"] = {
                 "executors_n": 1,
                 "executors_4n": 4,
@@ -334,6 +361,8 @@ def main() -> None:
                 "events_per_sec_n": best_pair["events_per_sec_n"],
                 "events_per_sec_4n": best_pair["events_per_sec_4n"],
                 "efficiency": best_pair["efficiency"],
+                "efficiency_median": eff_median,
+                "retried": len(draws) > sc_runs,
                 "method": "equal-wall-time legs over one shared log (4N "
                           "replays the full log as one slice, N the first "
                           "quarter-LSN slice; one slice, one commit) in an "
@@ -353,9 +382,15 @@ def main() -> None:
                           "planned bracket clears 0.8, up to "
                           "BENCH_SCALING_RETRIES extra brackets extend "
                           "the same chain (host-load-episode insurance); "
-                          "all draws ship in runs.",
+                          "all draws ship in runs, retried is flagged, "
+                          "and efficiency_median over all draws is "
+                          "reported alongside best-of (conditional extra "
+                          "draws bias a max statistic upward; the median "
+                          "does not reward them).",
                 "runs": draws,
             }
+            if retry_error is not None:
+                out["scaling"]["retry_error"] = retry_error
         except Exception as e:  # noqa: BLE001 — degrade, don't sink the bench
             out["scaling"] = {"error": str(e)[:500]}
 
@@ -451,6 +486,8 @@ def main() -> None:
                 "events_per_sec_4n": sc["events_per_sec_4n"],
                 "draw_efficiencies": [d["efficiency"] for d in sc["runs"]],
                 "efficiency": sc["efficiency"],
+                "efficiency_median": sc.get("efficiency_median"),
+                "retried": sc.get("retried"),
             }
         )
     compact["value"] = out["value"]

@@ -7,11 +7,7 @@ efficiency = (rate_4N / rate_N) / 4, and a retry bracket appended to
 the chain reuses the previous tail 4N leg as its "before" leg.
 """
 
-import sys
-
-sys.path.insert(0, "/root/repo")
-
-from bench import _bracket_draw  # noqa: E402
+from bench import _bracket_draw, _median  # repo root on sys.path via conftest
 
 
 def _leg(rate, events=100, secs=None):
@@ -59,6 +55,16 @@ def test_retry_bracket_extends_the_same_chain():
     assert d["efficiency"] == 0.85  # mean(300, 380)=340; 340/100/4
     # gate logic: best-of across ALL draws, planned and retried
     assert max(x["efficiency"] for x in draws) >= 0.8
+
+
+def test_median_over_all_draws():
+    # odd count: middle value; even count: mean of the two middles.
+    # The artifact ships this next to best-of because conditional retry
+    # draws bias a max statistic upward; the median does not reward them.
+    assert _median([0.353, 0.535, 0.631]) == 0.535
+    assert _median([0.788, 1.004]) == 0.896
+    assert _median([1.004]) == 1.004
+    assert _median([0.7, 0.9, 0.8, 1.0]) == 0.85
 
 
 def test_secs_come_from_the_matching_legs():
