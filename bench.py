@@ -189,8 +189,14 @@ def main() -> None:
     os.makedirs(WORK, exist_ok=True)
     os.makedirs(SHM, exist_ok=True)
     t_suite = time.monotonic()
+    # recreate, don't update: `zip -r` onto an existing archive keeps
+    # entries for files since deleted from the tree, and WORK is a
+    # long-lived cache dir — a renamed module would ship both names.
+    zip_path = os.path.join(WORK, "engine.zip")
+    if os.path.exists(zip_path):
+        os.remove(zip_path)
     subprocess.run(
-        ["zip", "-qr", os.path.join(WORK, "engine.zip"), "etl_reconciliate_spark"],
+        ["zip", "-qr", zip_path, "etl_reconciliate_spark"],
         cwd=REPO, check=True,
     )
 
