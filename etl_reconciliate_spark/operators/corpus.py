@@ -149,9 +149,18 @@ def contamination_pairs(
     # side means the 100 TB train shingle frame never shuffles on the
     # shingle value at all — its only wide exchange is the pair groupBy,
     # which is bounded by matched pairs (r5 batch review: the docstring
-    # claimed this shape but only b_sizes carried the hint)
+    # claimed this shape but only b_sizes carried the hint). Gating
+    # b_sh on the flag matters because hinting it flipped the default
+    # plan in r5: a benchmark shingle frame past Spark's 8 GB broadcast
+    # hard limit now needs broadcast=False (corpus_job:
+    # --no-broadcast-benchmark) where it previously shuffle-joined
+    # silently. b_sizes stays hinted even then — one row per benchmark
+    # doc, always bounded, and un-hinting it would re-shuffle the full
+    # matched-pair frame on bench_id in exactly the constrained-memory
+    # path the flag exists for.
     if broadcast:
-        b_sh, b_sizes = F.broadcast(b_sh), F.broadcast(b_sizes)
+        b_sh = F.broadcast(b_sh)
+    b_sizes = F.broadcast(b_sizes)
     common = (
         t_sh.join(b_sh, "shingle")
         .groupBy("train_id", "bench_id")
