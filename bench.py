@@ -34,8 +34,8 @@ from __future__ import annotations
 
 import json
 import os
-import statistics
 import shutil
+import statistics
 import subprocess
 import sys
 import tempfile
@@ -409,6 +409,7 @@ def main() -> None:
                 out["scaling"]["retry_error"] = retry_error
             if orphan_n_leg is not None:
                 out["scaling"]["retry_orphan_n_leg"] = {
+                    "events": orphan_n_leg.get("events"),
                     "secs": round(orphan_n_leg["secs"], 1),
                     "events_per_sec": round(
                         orphan_n_leg["events_per_sec"], 1),

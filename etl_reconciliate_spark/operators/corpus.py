@@ -136,10 +136,13 @@ def contamination_pairs(
     shingles, never |train| × |bench| — and the benchmark side of a real
     run is small (eval suites), so both its shingle frame and its
     per-doc sizes broadcast; the train side streams through one shuffle.
-    ``broadcast=False`` is the escape hatch for a benchmark frame too
-    large for executor memory (same pattern as
+    ``broadcast=False`` is the escape hatch for a benchmark SHINGLE
+    frame too large for executor memory (same pattern as
     ``reconcile.recon_incremental``): the shingle join then plans as a
-    regular shuffle join.
+    regular shuffle join. The per-doc sizes frame stays hinted either
+    way — it is one row per benchmark doc, so it only outgrows the
+    broadcast limit for a benchmark of hundreds of millions of items,
+    at which point the eval suite itself needs sharding, not a flag.
     """
     t_sh = char_shingles(train, k).withColumnRenamed("doc_id", "train_id")
     b_sh = char_shingles(benchmark, k).withColumnRenamed("doc_id", "bench_id")
@@ -186,8 +189,10 @@ def decontaminate(
     """Drop every train document flagged by :func:`contamination_pairs`.
     Returns the surviving train rows unchanged. ``broadcast`` passes
     through to :func:`contamination_pairs` — the escape hatch must be
-    reachable from this public wrapper too, or a benchmark frame too
-    large to broadcast would force the OOM with no opt-out."""
+    reachable from this public wrapper too, or a benchmark shingle
+    frame too large to broadcast would force the OOM with no opt-out
+    (the bounded per-doc sizes frame stays hinted either way; see
+    :func:`contamination_pairs`)."""
     flagged = contamination_pairs(
         train, benchmark, k=k, min_overlap_frac=min_overlap_frac,
         broadcast=broadcast,
