@@ -180,6 +180,19 @@ def _median(vals: list[float]) -> float:
     return round(statistics.median(vals), 3)
 
 
+def _fence_orphan(legs_n: list[dict], legs_4n: list[dict]) -> dict | None:
+    """Restore the A-B-A bracket invariant (len(legs_4n) == len(legs_n)
+    + 1) after a failed retry leg. If the N leg completed but its
+    trailing 4N leg did not, the N leg can't form a bracket — pop and
+    return it so it still ships in the artifact as
+    ``retry_orphan_n_leg``. If the N leg itself was the failure the
+    lists are already consistent: return None and pop NOTHING (popping
+    here would silently drop a planned, fully-bracketed leg)."""
+    if len(legs_n) > len(legs_4n) - 1:
+        return legs_n.pop()
+    return None
+
+
 def _n_executors(cpus: int) -> int:
     return max(1, cpus // 8)
 
@@ -354,13 +367,7 @@ def main() -> None:
                     )
                 except Exception as rexc:  # noqa: BLE001 — keep planned draws
                     retry_error = str(rexc)[:500]
-                    # an N leg whose trailing 4N failed can't form a
-                    # bracket — move it aside (don't discard: "every leg
-                    # ships in the artifact" is the contract) so
-                    # _bracket_draw's legs_n[i]/legs_4n[i+1] pairing
-                    # stays consistent.
-                    if len(legs_n) > len(legs_4n) - 1:
-                        orphan_n_leg = legs_n.pop()
+                    orphan_n_leg = _fence_orphan(legs_n, legs_4n)
                     break
                 draws.append(_bracket_draw(legs_4n, legs_n, i))
             best_pair = max(draws, key=lambda d: d["efficiency"])

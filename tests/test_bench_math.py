@@ -7,7 +7,11 @@ efficiency = (rate_4N / rate_N) / 4, and a retry bracket appended to
 the chain reuses the previous tail 4N leg as its "before" leg.
 """
 
-from bench import _bracket_draw, _median  # repo root on sys.path via conftest
+from bench import (  # repo root on sys.path via conftest
+    _bracket_draw,
+    _fence_orphan,
+    _median,
+)
 
 
 def _leg(rate, events=100, secs=None):
@@ -65,6 +69,26 @@ def test_median_over_all_draws():
     assert _median([0.788, 1.004]) == 0.896
     assert _median([1.004]) == 1.004
     assert _median([0.7, 0.9, 0.8, 1.0]) == 0.85
+
+
+def test_fence_orphan_pops_only_an_unbracketed_n_leg():
+    # retry N leg completed, trailing 4N failed: invariant broken
+    # (len(legs_4n) == len(legs_n)), so the N leg is popped and
+    # RETURNED — it must ship as retry_orphan_n_leg, not vanish.
+    legs_4n = [_leg(400), _leg(400), _leg(400)]  # 2 brackets' worth
+    legs_n = [_leg(100), _leg(100), _leg(105)]   # + one unbracketed
+    orphan = _fence_orphan(legs_n, legs_4n)
+    assert orphan == _leg(105)
+    assert len(legs_4n) == len(legs_n) + 1  # invariant restored
+
+
+def test_fence_orphan_never_pops_a_bracketed_leg():
+    # retry N leg itself failed: lists are already consistent — a pop
+    # here would silently drop a PLANNED, fully-bracketed leg.
+    legs_4n = [_leg(400), _leg(400), _leg(400)]
+    legs_n = [_leg(100), _leg(100)]
+    assert _fence_orphan(legs_n, legs_4n) is None
+    assert len(legs_n) == 2
 
 
 def test_secs_come_from_the_matching_legs():
